@@ -1,0 +1,64 @@
+"""Align-corners resize parity vs torch.nn.functional.interpolate."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from superresolution_for_pdes_tpu.ops.resize import (
+    downsample_stride,
+    resize_align_corners,
+    upsample2x,
+)
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "bicubic"])
+@pytest.mark.parametrize("in_size,out_size", [(20, 40), (10, 20), (40, 80), (20, 37)])
+def test_resize_matches_torch_align_corners(mode, in_size, out_size, rng):
+    x = rng.standard_normal((2, 3, in_size, in_size)).astype(np.float64)
+    ref = F.interpolate(
+        torch.from_numpy(x), size=(out_size, out_size), mode=mode, align_corners=True
+    ).numpy()
+    ours = np.asarray(resize_align_corners(jnp.asarray(x), (out_size, out_size), mode))
+    np.testing.assert_allclose(ours, ref, rtol=1e-10, atol=1e-10)
+
+
+def test_upsample2x_matches_torch(rng):
+    x = rng.standard_normal((4, 8, 10, 10)).astype(np.float32)
+    ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="bilinear", align_corners=True).numpy()
+    ours = np.asarray(upsample2x(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+
+
+def test_downsample_stride_matches_reference_slicing(rng):
+    x = rng.standard_normal((5, 40, 40))
+    np.testing.assert_array_equal(np.asarray(downsample_stride(jnp.asarray(x))), x[:, ::2, ::2])
+    np.testing.assert_array_equal(
+        np.asarray(downsample_stride(jnp.asarray(x), 4)), x[:, ::4, ::4]
+    )
+
+
+def test_multi_level_vs_direct_bilinear_matches_torch(rng):
+    """Multi-level (2x-stepped) vs direct align-corners bilinear: the gap is a
+    property of the interpolant, not of our implementation — assert our
+    stepped result matches torch's stepped result exactly and that the
+    direct-vs-stepped gap equals torch's gap (the quantity the reference's
+    root-level verification scripts print, ``test_interpolation.py``)."""
+    n = 20
+    x = np.linspace(0, 1, n)
+    X, Y = np.meshgrid(x, x)
+    u = np.exp(-((X - 0.45) ** 2 + (Y - 0.55) ** 2) / 0.05)
+    direct = np.asarray(resize_align_corners(jnp.asarray(u), (80, 80)))
+    stepped = np.asarray(upsample2x(upsample2x(jnp.asarray(u))))
+
+    t = torch.from_numpy(u)[None, None]
+    stepped_t = F.interpolate(
+        F.interpolate(t, scale_factor=2, mode="bilinear", align_corners=True),
+        scale_factor=2, mode="bilinear", align_corners=True,
+    )[0, 0].numpy()
+    np.testing.assert_allclose(stepped, stepped_t, rtol=1e-10, atol=1e-12)
+    gap = np.max(np.abs(direct - stepped))
+    direct_t = F.interpolate(t, size=(80, 80), mode="bilinear", align_corners=True)[0, 0].numpy()
+    gap_t = np.max(np.abs(direct_t - stepped_t))
+    np.testing.assert_allclose(gap, gap_t, rtol=1e-8)
