@@ -1,0 +1,151 @@
+"""Data layer: generation semantics, normalization parity vs torch, io, splits."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+import torch.nn.functional as F
+
+from superresolution_for_pdes_tpu.data import (
+    NormStats,
+    combine_datasets,
+    generate_standard_dataset,
+    generate_subdomain_dataset,
+    load_dataset,
+    save_dataset,
+    stratified_split,
+)
+from superresolution_for_pdes_tpu.data.normalization import make_model_inputs, make_targets
+from superresolution_for_pdes_tpu.data.pipeline import epoch_batch_indices
+
+
+@pytest.fixture(scope="module")
+def std_ds():
+    return generate_standard_dataset(jax.random.key(0), 16, dtype=jnp.float64)
+
+
+@pytest.fixture(scope="module")
+def sub_ds():
+    return generate_subdomain_dataset(jax.random.key(1), 16, dtype=jnp.float64)
+
+
+def test_standard_dataset_schema_and_solution(std_ds, reference_solve):
+    assert std_ds["u_fine"].shape == (16, 40, 40)
+    assert std_ds["u_coarse"].shape == (16, 20, 20)
+    assert not bool(std_ds["is_subdomain"].any())
+    assert np.all((np.asarray(std_ds["k1"]) >= 0.5) & (np.asarray(std_ds["k1"]) <= 5.0))
+    # Each sample solves the reference system on both grids.
+    for grid in ("fine", "coarse"):
+        f = np.asarray(std_ds[f"f_{grid}"][3])
+        theta = np.asarray(std_ds[f"theta_{grid}"][3])
+        ref = reference_solve(f, theta)
+        assert np.max(np.abs(np.asarray(std_ds[f"u_{grid}"][3]) - ref)) <= 1e-6
+
+
+def test_subdomain_dataset_semantics(sub_ds):
+    assert sub_ds["u_fine"].shape == (16, 40, 40)
+    assert bool(sub_ds["is_subdomain"].all())
+    # coarse fields are the [::2, ::2] stride of the fine window
+    np.testing.assert_array_equal(
+        np.asarray(sub_ds["u_coarse"]), np.asarray(sub_ds["u_fine"])[:, ::2, ::2]
+    )
+    # k range is the wider subdomain range
+    ks = np.concatenate([np.asarray(sub_ds["k1"]), np.asarray(sub_ds["k2"])])
+    assert ks.min() >= 0.5 and ks.max() <= 12.0 and ks.max() > 5.0
+
+
+def test_subdomain_window_is_from_superfine_solve(reference_solve):
+    """The fine field must be a contiguous window of the 80^2 solve."""
+    ds = generate_subdomain_dataset(jax.random.key(7), 2, dtype=jnp.float64)
+    k1 = float(ds["k1"][0])
+    k2 = float(ds["k2"][0])
+    x = np.linspace(0, 1, 80)
+    X, Y = np.meshgrid(x, x)
+    f_sf = np.sin(2 * np.pi * k1 * X) * np.sin(2 * np.pi * k2 * Y)
+    u_sf = reference_solve(f_sf, np.ones((80, 80)))
+    window = np.asarray(ds["u_fine"][0])
+    # find the window offset by matching the first element row/col
+    best = np.inf
+    for sy in range(41):
+        for sx in range(41):
+            d = np.max(np.abs(u_sf[sy : sy + 40, sx : sx + 40] - window))
+            best = min(best, d)
+    assert best <= 1e-6
+
+
+def test_combine_datasets(std_ds, sub_ds):
+    both = combine_datasets(std_ds, sub_ds)
+    assert both["u_fine"].shape[0] == 32
+    flags = np.asarray(both["is_subdomain"])
+    assert flags[:16].sum() == 0 and flags[16:].sum() == 16
+
+
+def test_normstats_match_torch_pde_dataset_semantics(std_ds):
+    """Oracle: recompute the PDEDataset stats pipeline in torch."""
+    u_fine = torch.from_numpy(np.asarray(std_ds["u_fine"]))
+    f_fine = torch.from_numpy(np.asarray(std_ds["f_fine"]))
+    theta_fine = torch.from_numpy(np.asarray(std_ds["theta_fine"]))
+    u_coarse = torch.from_numpy(np.asarray(std_ds["u_coarse"]))
+
+    stats = NormStats.from_dataset(std_ds)
+    assert float(stats.u_mean) == pytest.approx(float(u_fine.mean()), rel=1e-10)
+    assert float(stats.u_std) == pytest.approx(float(u_fine.std()), rel=1e-10)
+    assert float(stats.f_mean) == pytest.approx(float(f_fine.mean()), rel=1e-10)
+    assert float(stats.f_std) == pytest.approx(float(f_fine.std()), rel=1e-10)
+    # theta is constant 1.0 -> detection kicks in (mean 0, std 1)
+    assert bool(stats.theta_is_constant)
+    assert float(stats.theta_mean) == 0.0 and float(stats.theta_std) == 1.0
+
+    # full input pipeline vs torch
+    u_coarse_norm = (u_coarse - u_fine.mean()) / u_fine.std()
+    u_up_ref = F.interpolate(
+        u_coarse_norm.unsqueeze(1), size=(40, 40), mode="bilinear", align_corners=True
+    )[:, 0]
+    f_norm_ref = (f_fine - f_fine.mean()) / f_fine.std()
+    inputs = make_model_inputs(std_ds["u_coarse"], std_ds["f_fine"], std_ds["theta_fine"], stats)
+    assert inputs.shape == (16, 40, 40, 3)
+    np.testing.assert_allclose(np.asarray(inputs[..., 0]), u_up_ref.numpy(), rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(inputs[..., 1]), theta_fine.numpy(), rtol=1e-12, atol=0)
+    np.testing.assert_allclose(np.asarray(inputs[..., 2]), f_norm_ref.numpy(), rtol=1e-9, atol=1e-9)
+
+    targets = make_targets(std_ds["u_fine"], stats)
+    assert targets.shape == (16, 40, 40, 1)
+    # denormalize roundtrip
+    np.testing.assert_allclose(
+        np.asarray(stats.denormalize_u(targets[..., 0])), np.asarray(std_ds["u_fine"]),
+        rtol=1e-9, atol=1e-12,
+    )
+
+
+def test_varying_theta_normalization(rng):
+    theta = jnp.asarray(rng.uniform(0.5, 2.0, size=(4, 40, 40)))
+    u = jnp.asarray(rng.standard_normal((4, 40, 40)))
+    f = jnp.asarray(rng.standard_normal((4, 40, 40)))
+    stats = NormStats.from_fields(u, f, theta)
+    assert not bool(stats.theta_is_constant)
+    t = torch.from_numpy(np.asarray(theta))
+    assert float(stats.theta_mean) == pytest.approx(float(t.mean()), rel=1e-10)
+    assert float(stats.theta_std) == pytest.approx(float(t.std()), rel=1e-10)
+
+
+def test_npz_roundtrip(tmp_path, std_ds):
+    p = save_dataset(std_ds, tmp_path / "ds.npz")
+    loaded = load_dataset(p, dtype=jnp.float64)
+    for key in std_ds:
+        np.testing.assert_array_equal(np.asarray(loaded[key]), np.asarray(std_ds[key]))
+
+
+def test_stratified_split():
+    flags = np.array([False] * 100 + [True] * 60)
+    train, val = stratified_split(42, flags, val_split=0.2)
+    assert len(train) + len(val) == 160
+    assert len(np.intersect1d(train, val)) == 0
+    assert (flags[val]).sum() == 12 and (~flags[val]).sum() == 20
+    assert (flags[train]).sum() == 48 and (~flags[train]).sum() == 80
+
+
+def test_epoch_batch_indices():
+    idx = epoch_batch_indices(jax.random.key(0), 1600, 32)
+    assert idx.shape == (50, 32)
+    assert len(np.unique(np.asarray(idx))) == 1600
