@@ -1,0 +1,78 @@
+"""Headline benchmark: batched 40x40 Poisson solves/sec (datagen hot path).
+
+The reference generates training data with one scipy SuperLU direct solve per
+sample on the host (``/root/reference/src/data_generation.py:102``). The
+TPU-native replacement solves the whole batch with the fast-diagonalization
+direct solver (sine-transform matmuls on the MXU).
+
+Baseline for ``vs_baseline``: the BASELINE.json north-star target of 5,000
+batched 40x40 solves/sec.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# Persistent compilation cache: the measured program is compile-heavy but the
+# compiled artifact is stable, so repeat bench runs skip the ~minutes of XLA
+# compile time.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+BASELINE_SOLVES_PER_SEC = 5_000.0
+
+
+def main() -> None:
+    from superresolution_for_pdes_tpu.ops.grid import forcing_term
+    from superresolution_for_pdes_tpu.solver import solve_poisson_dst
+
+    batch = 8192
+    n = 40
+    key = jax.random.key(0)
+    k1, k2 = jax.random.uniform(key, (2, batch), jnp.float32, 0.5, 12.0)
+    f = jax.vmap(lambda a, b: forcing_term(a, b, n))(k1, k2)
+    theta = jnp.ones((batch, n, n), jnp.float32)
+
+    # The rep loop runs *inside* one jitted program (lax.scan over distinct
+    # scaled inputs, checksum accumulated) and the result is fetched to host:
+    # a single device round trip measuring pure device throughput — immune to
+    # async-dispatch artifacts and to per-call tunnel latency.
+    reps = 50
+    scales = 1.0 + 1e-3 * jnp.arange(reps, dtype=jnp.float32)
+
+    @jax.jit
+    def run(f, theta, scales):
+        def body(acc, s):
+            u = solve_poisson_dst(f * s, theta)
+            return acc + jnp.sum(u), None
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), scales)
+        return acc
+
+    float(run(f, theta, scales))  # compile + warm
+    t0 = time.perf_counter()
+    checksum = float(run(f, theta, scales))
+    elapsed = time.perf_counter() - t0
+    assert checksum == checksum  # NaN guard
+    solves_per_sec = batch * reps / elapsed
+
+    print(
+        json.dumps(
+            {
+                "metric": "batched_poisson_solves_per_sec_40x40",
+                "value": round(solves_per_sec, 1),
+                "unit": "solves/sec",
+                "vs_baseline": round(solves_per_sec / BASELINE_SOLVES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,129 @@
+"""Multi-level ML upscaling 40 -> 80 -> 160 -> 320 -> 640, fully vectorized.
+
+The reference's flagship inference path (``/root/reference/src/
+resolution_comparison.py:183-229``) loops Python-sequentially over
+``(res/20)^2`` tiles per level with batch-1 model calls. Here each level is
+ONE batched model application over all tiles (vmap-free — the model is already
+batched), optionally sharded across the device mesh on the tile axis — the
+TPU answer to the reference's spatial domain decomposition.
+
+Per level (matching ``ml_multi_level_upscale`` semantics):
+
+1. normalization stats for the level (oracle mode reproduces the reference's
+   use of ground-truth fine stats, ``resolution_comparison.py:196-201``;
+   scene mode is the honest variant using only known quantities);
+2. split current solution into 20^2 tiles and next-res f/theta into 40^2 tiles;
+3. normalize, align-corners bilinear 20->40, stack channels, model forward,
+   denormalize (= ``upscale_subdomain``, ``resolution_comparison.py:80-121``);
+4. stitch and double the resolution.
+
+The Python loop over levels is static (4 iterations, shapes double), so each
+level jit-compiles once and is reused across scenes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from superresolution_for_pdes_tpu.cascade.tiles import split_tiles, stitch_tiles
+from superresolution_for_pdes_tpu.data.normalization import (
+    NormStats,
+    make_model_inputs,
+)
+from superresolution_for_pdes_tpu.ops.resize import resize_align_corners
+
+
+@functools.partial(jax.jit, static_argnames=("model", "tile_sharding"))
+def upscale_tile_batch(
+    model,
+    variables: Dict,
+    u_coarse_tiles: jnp.ndarray,  # (T, 20, 20)
+    f_fine_tiles: jnp.ndarray,    # (T, 40, 40)
+    theta_fine_tiles: jnp.ndarray,
+    stats: NormStats,
+    tile_sharding: Optional[jax.sharding.NamedSharding] = None,
+) -> jnp.ndarray:
+    """One batched tile upscale: normalize -> model -> denormalize."""
+    x = make_model_inputs(u_coarse_tiles, f_fine_tiles, theta_fine_tiles, stats,
+                          fine_shape=f_fine_tiles.shape[-2:])
+    if tile_sharding is not None:
+        x = jax.lax.with_sharding_constraint(x, tile_sharding)
+    pred = model.apply(variables, x, train=False)
+    return stats.denormalize_u(pred[..., 0])
+
+
+def ml_multi_level_upscale(
+    model,
+    variables: Dict,
+    data: Dict,
+    target_resolution: int,
+    stats_mode: str = "oracle",
+    train_stats: Optional[NormStats] = None,
+    tile_sharding: Optional[jax.sharding.NamedSharding] = None,
+    start_resolution: int = 40,
+    coarse_tile: int = 20,
+) -> jnp.ndarray:
+    """Cascade from ``start_resolution`` to ``target_resolution``.
+
+    Args:
+        data: ``{f: {res}, theta: {res}, u: {res}}`` scene dict from
+            :func:`~superresolution_for_pdes_tpu.cascade.multires.solve_multi_resolution`.
+        stats_mode: ``"oracle"`` — stats from the ground-truth fine solution
+            of each level (reference parity, ``resolution_comparison.py:196-201``);
+            ``"scene"`` — honest stats from the *current* solution and the
+            known f/theta fields; ``"train"`` — fixed training-set stats
+            (requires ``train_stats``).
+    """
+    fine_tile = 2 * coarse_tile
+    current = data["u"][start_resolution]
+    res = start_resolution
+    while res < target_resolution:
+        next_res = res * 2
+        if stats_mode == "oracle":
+            stats = NormStats.from_fields(
+                data["u"][next_res], data["f"][next_res], data["theta"][next_res]
+            )
+        elif stats_mode == "scene":
+            stats = NormStats.from_fields(
+                current, data["f"][next_res], data["theta"][next_res]
+            )
+        elif stats_mode == "train":
+            if train_stats is None:
+                raise ValueError("stats_mode='train' requires train_stats")
+            stats = train_stats
+        else:
+            raise ValueError(f"unknown stats_mode: {stats_mode!r}")
+
+        u_tiles = split_tiles(current, coarse_tile)
+        f_tiles = split_tiles(data["f"][next_res], fine_tile)
+        theta_tiles = split_tiles(data["theta"][next_res], fine_tile)
+        up_tiles = upscale_tile_batch(
+            model, variables, u_tiles, f_tiles, theta_tiles, stats, tile_sharding
+        )
+        current = stitch_tiles(up_tiles)
+        res = next_res
+    return current
+
+
+def interpolation_upscale(
+    u: jnp.ndarray, target_resolution: int, method: str = "bilinear"
+) -> jnp.ndarray:
+    """Direct align-corners interpolation baseline (reference
+    ``resolution_comparison.py:415-420``, ``resolution_comparison_enhanced.py:372-392``)."""
+    return resize_align_corners(u, (target_resolution, target_resolution), method)
+
+
+def multi_level_interpolation_upscale(
+    u: jnp.ndarray, target_resolution: int, method: str = "bilinear"
+) -> jnp.ndarray:
+    """2x-stepped interpolation baseline (reference
+    ``resolution_comparison_enhanced.py:19-65``)."""
+    res = u.shape[-1]
+    while res < target_resolution:
+        res *= 2
+        u = resize_align_corners(u, (res, res), method)
+    return u

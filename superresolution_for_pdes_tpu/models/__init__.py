@@ -1,0 +1,9 @@
+"""Model zoo: the attention U-Net super-resolver and weight import utilities."""
+
+from superresolution_for_pdes_tpu.models.unet import (  # noqa: F401
+    AttentionGate,
+    AttentionUNet,
+    ConvBlock,
+    count_parameters,
+    init_unet,
+)

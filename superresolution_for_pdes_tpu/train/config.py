@@ -1,0 +1,44 @@
+"""Training configuration.
+
+Defaults replicate the published run configuration
+(``/root/reference/src/train_enhanced.py:192-205`` and
+``results/enhanced_run_20250227_142049/config.json``): batch 32, <=500 epochs,
+AdamW lr 2e-4 / weight decay 1e-4, plateau LR (factor 0.5, patience 10,
+min 1e-6), early stopping 20, val split 0.2, grad clip 1.0, stratified split.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Optional
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 32
+    num_epochs: int = 500
+    learning_rate: float = 2e-4
+    weight_decay: float = 1e-4
+    min_lr: float = 1e-6
+    plateau_patience: int = 10
+    plateau_factor: float = 0.5
+    early_stopping_patience: int = 20
+    val_split: float = 0.2
+    grad_clip: float = 1.0
+    seed: int = 42
+    stratify_by_subdomain: bool = True
+    # TPU-native extensions (not in the reference):
+    physics_weight: float = 0.0  # weight of the PDE-residual loss (README.md:152)
+    dtype: str = "float32"  # compute dtype for the model ("bfloat16" supported)
+    mesh_shape: Optional[int] = None  # data-parallel device count (None = all)
+    log_tensorboard: bool = False
+    checkpoint_every_best: bool = True
+
+    def to_json(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(dataclasses.asdict(self), indent=4))
+
+    @classmethod
+    def from_json(cls, path: str | Path) -> "TrainConfig":
+        return cls(**json.loads(Path(path).read_text()))

@@ -1,0 +1,317 @@
+"""Jitted training loops for the attention U-Net.
+
+Functional re-design of the reference trainers (``/root/reference/src/train.py:15-117``,
+``src/train_enhanced.py:15-139``): MSE on normalized targets, AdamW
+(lr 2e-4, wd 1e-4 on *all* parameters, matching torch ``AdamW(model.parameters())``),
+global-norm gradient clipping at 1.0, plateau LR halving, best-val
+checkpointing, early stopping after 20 stale epochs — plus the optional
+physics-informed PDE-residual term the reference never shipped.
+
+TPU-first execution model:
+
+* the full dataset lives in HBM; **one jitted program per epoch** runs a
+  ``lax.scan`` over shuffled batch-index rows (gather -> forward/backward ->
+  optimizer update), so there is no per-step Python or host->device traffic
+  (the reference pays a ``.to(device)`` per batch, ``train_enhanced.py:66``);
+* under a device mesh the batch axis of each gathered mini-batch is sharded
+  with ``with_sharding_constraint`` — XLA inserts the gradient all-reduce and
+  cross-chip BatchNorm statistics automatically (GSPMD data parallelism);
+* the learning rate is an ``optax.inject_hyperparams`` value mutated
+  functionally between epochs by the host-side plateau scheduler — no
+  recompilation when the LR drops.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from superresolution_for_pdes_tpu.data.normalization import (
+    NormStats,
+    make_model_inputs,
+    make_targets,
+)
+from superresolution_for_pdes_tpu.data.pipeline import epoch_batch_indices, stratified_split
+from superresolution_for_pdes_tpu.models.unet import AttentionUNet, init_unet
+from superresolution_for_pdes_tpu.physics.loss import pde_residual_loss
+from superresolution_for_pdes_tpu.train.checkpoint import save_checkpoint
+from superresolution_for_pdes_tpu.train.config import TrainConfig
+from superresolution_for_pdes_tpu.train.metrics import MetricsLogger, plot_history
+from superresolution_for_pdes_tpu.train.schedule import EarlyStopping, ReduceLROnPlateau
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(config: TrainConfig) -> optax.GradientTransformation:
+    """clip_by_global_norm(1.0) -> AdamW, with an injectable learning rate.
+
+    torch semantics replicated: betas (0.9, 0.999), eps 1e-8, decoupled weight
+    decay applied to every parameter (the reference does not exempt
+    BatchNorm/bias parameters; ``train_enhanced.py:308``).
+    """
+    return optax.chain(
+        optax.clip_by_global_norm(config.grad_clip),
+        optax.inject_hyperparams(optax.adamw)(
+            learning_rate=config.learning_rate, weight_decay=config.weight_decay
+        ),
+    )
+
+
+def set_learning_rate(opt_state, lr: float):
+    """Functionally replace the injected learning rate (no retrace)."""
+    clip_state, inject_state = opt_state
+    hp = dict(inject_state.hyperparams)
+    hp["learning_rate"] = jnp.asarray(lr, jnp.asarray(hp["learning_rate"]).dtype)
+    return (clip_state, inject_state._replace(hyperparams=hp))
+
+
+def get_learning_rate(opt_state) -> float:
+    return float(opt_state[1].hyperparams["learning_rate"])
+
+
+def make_train_fns(
+    model: AttentionUNet,
+    tx: optax.GradientTransformation,
+    stats: NormStats,
+    physics_weight: float = 0.0,
+    batch_sharding: Optional[jax.sharding.NamedSharding] = None,
+) -> Tuple[Callable, Callable]:
+    """Build (train_epoch, eval_loss) jitted functions.
+
+    ``train_epoch(state, arrays, idx_matrix) -> (state, mean_loss)`` scans the
+    whole epoch on device. ``arrays`` is the dict of device-resident tensors
+    ``{x, y, theta, f}`` (NHWC inputs/targets + physical fields for the
+    physics term).
+    """
+
+    def constrain(tree):
+        if batch_sharding is None:
+            return tree
+        return jax.tree.map(lambda a: jax.lax.with_sharding_constraint(a, batch_sharding), tree)
+
+    def loss_fn(params, batch_stats, batch, train: bool):
+        outputs = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            batch["x"],
+            train=train,
+            mutable=["batch_stats"] if train else False,
+        )
+        if train:
+            pred, mutated = outputs
+            new_stats = mutated["batch_stats"]
+        else:
+            pred, new_stats = outputs, batch_stats
+        mse = jnp.mean((pred - batch["y"]) ** 2)
+        loss = mse
+        if physics_weight > 0.0:
+            loss = loss + physics_weight * pde_residual_loss(
+                pred, batch["theta"], batch["f"], stats
+            )
+        return loss, (mse, new_stats)
+
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, jnp.ndarray]:
+        (loss, (_, new_batch_stats)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, batch, True
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (
+            TrainState(
+                params=new_params,
+                batch_stats=new_batch_stats,
+                opt_state=new_opt_state,
+                step=state.step + 1,
+            ),
+            loss,
+        )
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_epoch(state: TrainState, arrays: Dict[str, jnp.ndarray], idx_matrix: jnp.ndarray):
+        def body(carry, idx):
+            batch = constrain({k: v[idx] for k, v in arrays.items()})
+            new_carry, loss = train_step(carry, batch)
+            return new_carry, loss
+
+        state, losses = jax.lax.scan(body, state, idx_matrix)
+        return state, jnp.mean(losses)
+
+    @jax.jit
+    def eval_loss(state: TrainState, arrays: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+        batch = constrain(arrays)
+        loss, _ = loss_fn(state.params, state.batch_stats, batch, False)
+        return loss
+
+    return train_epoch, eval_loss
+
+
+def prepare_arrays(dataset: Dict[str, jnp.ndarray], stats: NormStats, dtype=jnp.float32):
+    """Normalized NHWC tensors + physical fields, device-resident."""
+    return {
+        "x": make_model_inputs(
+            dataset["u_coarse"], dataset["f_fine"], dataset["theta_fine"], stats
+        ).astype(dtype),
+        "y": make_targets(dataset["u_fine"], stats).astype(dtype),
+        "theta": dataset["theta_fine"].astype(dtype),
+        "f": dataset["f_fine"].astype(dtype),
+    }
+
+
+def train_model(
+    dataset: Dict[str, jnp.ndarray],
+    config: TrainConfig,
+    run_dir,
+    mesh: Optional[jax.sharding.Mesh] = None,
+    model: Optional[AttentionUNet] = None,
+    verbose: bool = True,
+) -> Dict[str, Any]:
+    """Full training job: split -> normalize -> epochs -> checkpoints.
+
+    Replicates the reference main loops (``train_enhanced.py:185-360``):
+    stratified 80/20 split, normalization stats from the *train* split,
+    per-epoch train/val losses, plateau LR, early stopping, best + final
+    checkpoints, config.json and metrics logging in ``run_dir``.
+    """
+    from pathlib import Path
+
+    run_dir = Path(run_dir)
+    run_dir.mkdir(parents=True, exist_ok=True)
+    config.to_json(run_dir / "config.json")
+    logger = MetricsLogger(run_dir, tensorboard=config.log_tensorboard)
+
+    dtype = jnp.dtype(config.dtype)
+    n_samples = int(dataset["u_fine"].shape[0])
+    is_subdomain = jax.device_get(dataset.get("is_subdomain", jnp.zeros(n_samples, bool)))
+    if config.stratify_by_subdomain and is_subdomain.any():
+        train_idx, val_idx = stratified_split(config.seed, is_subdomain, config.val_split)
+    else:
+        import numpy as np
+
+        rng = np.random.default_rng(config.seed)
+        perm = rng.permutation(n_samples)
+        n_val = int(n_samples * config.val_split)
+        val_idx, train_idx = perm[:n_val], perm[n_val:]
+
+    train_ds = {k: v[jnp.asarray(train_idx)] for k, v in dataset.items()}
+    val_ds = {k: v[jnp.asarray(val_idx)] for k, v in dataset.items()}
+
+    # Stats from the training split (the reference computes separate stats for
+    # each split, models.py:154-168 — we use train stats for both, the
+    # principled choice; cascade inference recomputes scene stats anyway).
+    stats = NormStats.from_dataset(train_ds)
+    train_arrays = prepare_arrays(train_ds, stats, dtype)
+    val_arrays = prepare_arrays(val_ds, stats, dtype)
+
+    if model is None:
+        model = AttentionUNet(dtype=dtype)
+    model, variables = init_unet(jax.random.key(config.seed), model)
+    tx = make_optimizer(config)
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+
+    batch_sharding = None
+    if mesh is not None:
+        batch_sharding = jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("data")
+        )
+        replicate = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+        state = jax.device_put(state, replicate)
+        train_arrays = jax.device_put(train_arrays, replicate)
+        val_arrays = jax.device_put(val_arrays, replicate)
+
+    train_epoch, eval_loss = make_train_fns(
+        model, tx, stats, config.physics_weight, batch_sharding
+    )
+
+    plateau = ReduceLROnPlateau(
+        lr=config.learning_rate,
+        factor=config.plateau_factor,
+        patience=config.plateau_patience,
+        min_lr=config.min_lr,
+    )
+    early = EarlyStopping(patience=config.early_stopping_patience)
+
+    history = {"train_loss": [], "val_loss": [], "lr": []}
+    shuffle_key = jax.random.key(config.seed + 1)
+    n_train = len(train_idx)
+
+    for epoch in range(config.num_epochs):
+        shuffle_key, epoch_key = jax.random.split(shuffle_key)
+        idx_matrix = epoch_batch_indices(epoch_key, n_train, config.batch_size)
+        state, train_loss = train_epoch(state, train_arrays, idx_matrix)
+        val_loss = float(eval_loss(state, val_arrays))
+        train_loss = float(train_loss)
+
+        new_lr = plateau.step(val_loss)
+        if new_lr != get_learning_rate(state.opt_state):
+            state = state.replace(opt_state=set_learning_rate(state.opt_state, new_lr))
+
+        history["train_loss"].append(train_loss)
+        history["val_loss"].append(val_loss)
+        history["lr"].append(new_lr)
+        logger.log(epoch, {"train_loss": train_loss, "val_loss": val_loss, "learning_rate": new_lr})
+        if verbose:
+            print(
+                f"epoch {epoch + 1}/{config.num_epochs}: "
+                f"train {train_loss:.6f} val {val_loss:.6f} lr {new_lr:.2e}"
+            )
+
+        stop = early.step(val_loss, epoch)
+        if early.improved and config.checkpoint_every_best:
+            save_checkpoint(
+                run_dir / "best_model",
+                {
+                    "params": state.params,
+                    "batch_stats": state.batch_stats,
+                    "opt_state": state.opt_state,
+                    "epoch": epoch,
+                    "train_loss": train_loss,
+                    "val_loss": val_loss,
+                    "plateau": plateau.state_dict(),
+                    "early": early.state_dict(),
+                    "norm_stats": jax.device_get(stats),
+                },
+            )
+        if stop:
+            if verbose:
+                print(f"early stopping after {epoch + 1} epochs")
+            break
+
+    save_checkpoint(
+        run_dir / "final_model",
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "epoch": len(history["train_loss"]) - 1,
+            "train_loss": history["train_loss"][-1],
+            "val_loss": history["val_loss"][-1],
+            "best_val_loss": early.best,
+            "best_epoch": early.best_epoch,
+            "plateau": plateau.state_dict(),
+            "early": early.state_dict(),
+            "norm_stats": jax.device_get(stats),
+        },
+    )
+    plot_history(run_dir)
+    logger.close()
+    history["best_val_loss"] = early.best
+    history["best_epoch"] = early.best_epoch
+    history["num_epochs"] = len(history["train_loss"])
+    history["state"] = state
+    history["stats"] = stats
+    history["model"] = model
+    return history

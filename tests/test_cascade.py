@@ -1,0 +1,101 @@
+"""Cascade: tile/stitch roundtrips, multi-res ground truth, ML multi-level upscale."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superresolution_for_pdes_tpu.cascade import (
+    interpolation_upscale,
+    ml_multi_level_upscale,
+    multi_level_interpolation_upscale,
+    solve_multi_resolution,
+    split_tiles,
+    stitch_tiles,
+)
+from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+from superresolution_for_pdes_tpu.parallel import data_mesh
+
+
+def test_tile_roundtrip(rng):
+    field = jnp.asarray(rng.standard_normal((3, 160, 160)))
+    tiles = split_tiles(field, 40)
+    assert tiles.shape == (3, 16, 40, 40)
+    np.testing.assert_array_equal(np.asarray(stitch_tiles(tiles)), np.asarray(field))
+
+
+def test_tile_order_matches_reference_loops(rng):
+    """Row-major [i][j] order like reference resolution_comparison.py:123-139."""
+    field = rng.standard_normal((80, 80))
+    tiles = np.asarray(split_tiles(jnp.asarray(field), 20))
+    k = 0
+    for i in range(4):
+        for j in range(4):
+            np.testing.assert_array_equal(
+                tiles[k], field[i * 20 : (i + 1) * 20, j * 20 : (j + 1) * 20]
+            )
+            k += 1
+
+
+@pytest.fixture(scope="module")
+def scene():
+    return solve_multi_resolution(
+        jax.random.key(0), resolutions=(80, 160), dtype=jnp.float64, refine_iters=0
+    )
+
+
+def test_multires_ground_truth(scene, reference_solve):
+    assert set(scene["u"]) == {40, 80, 160}
+    # each level solves the reference system on the strided fields
+    for res in (40, 80):
+        ref = reference_solve(
+            np.asarray(scene["f"][res]), np.asarray(scene["theta"][res])
+        )
+        assert np.max(np.abs(np.asarray(scene["u"][res]) - ref)) <= 1e-6
+    # strided downsampling consistency
+    np.testing.assert_array_equal(
+        np.asarray(scene["f"][80]), np.asarray(scene["f"][160])[::2, ::2]
+    )
+    assert 10.0 <= scene["k1"] <= 11.0
+
+
+def test_ml_cascade_shapes_and_finiteness(scene):
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene32 = {
+        "u": {k: v.astype(jnp.float32) for k, v in scene["u"].items()},
+        "f": {k: v.astype(jnp.float32) for k, v in scene["f"].items()},
+        "theta": {k: v.astype(jnp.float32) for k, v in scene["theta"].items()},
+    }
+    out = ml_multi_level_upscale(model, variables, scene32, 160)
+    assert out.shape == (160, 160)
+    assert np.isfinite(np.asarray(out)).all()
+    # scene (honest) stats mode also works
+    out2 = ml_multi_level_upscale(model, variables, scene32, 80, stats_mode="scene")
+    assert out2.shape == (80, 80)
+
+    # sharded over the tile axis on the 8-device mesh
+    mesh = data_mesh(axis_name="tile")
+    sharding = jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("tile"))
+    out3 = ml_multi_level_upscale(model, variables, scene32, 160, tile_sharding=sharding)
+    np.testing.assert_allclose(np.asarray(out3), np.asarray(out), rtol=2e-4, atol=1e-6)
+
+
+def test_interpolation_baselines_match_torch(scene):
+    import torch
+    import torch.nn.functional as F
+
+    u40 = np.asarray(scene["u"][40])
+    t = torch.from_numpy(u40)[None, None]
+    for method, mode in (("bilinear", "bilinear"), ("bicubic", "bicubic")):
+        direct = np.asarray(interpolation_upscale(jnp.asarray(u40), 160, method))
+        ref = F.interpolate(t, size=(160, 160), mode=mode, align_corners=True)[0, 0].numpy()
+        np.testing.assert_allclose(direct, ref, rtol=1e-8, atol=1e-10)
+    stepped = np.asarray(multi_level_interpolation_upscale(jnp.asarray(u40), 160))
+    ref_stepped = F.interpolate(
+        F.interpolate(t, scale_factor=2, mode="bilinear", align_corners=True),
+        scale_factor=2, mode="bilinear", align_corners=True,
+    )[0, 0].numpy()
+    np.testing.assert_allclose(stepped, ref_stepped, rtol=1e-8, atol=1e-10)

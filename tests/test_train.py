@@ -1,0 +1,97 @@
+"""Training runtime: scheduler semantics vs torch, loss descent, checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superresolution_for_pdes_tpu.data import generate_standard_dataset
+from superresolution_for_pdes_tpu.train import EarlyStopping, ReduceLROnPlateau, TrainConfig, train_model
+from superresolution_for_pdes_tpu.train.checkpoint import load_model_variables, restore_checkpoint
+from superresolution_for_pdes_tpu.models import AttentionUNet
+
+
+def test_plateau_matches_torch_semantics():
+    """Oracle: torch.optim.lr_scheduler.ReduceLROnPlateau."""
+    import torch
+
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=2e-4)
+    sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=10, min_lr=1e-6
+    )
+    ours = ReduceLROnPlateau(lr=2e-4, factor=0.5, patience=10, min_lr=1e-6)
+
+    rng = np.random.default_rng(0)
+    metric = 1.0
+    for step in range(200):
+        # mostly-stagnant metric with occasional improvements
+        if rng.random() < 0.15:
+            metric *= 0.8
+        noisy = metric * (1 + 0.01 * rng.standard_normal())
+        sched.step(noisy)
+        lr_ours = ours.step(noisy)
+        lr_torch = opt.param_groups[0]["lr"]
+        assert lr_ours == pytest.approx(lr_torch, rel=1e-12), f"diverged at step {step}"
+
+
+def test_early_stopping_counter():
+    early = EarlyStopping(patience=3)
+    losses = [1.0, 0.9, 0.95, 0.94, 0.8, 0.85, 0.85, 0.85]
+    stops = [early.step(v, i) for i, v in enumerate(losses)]
+    assert stops == [False] * 7 + [True]
+    assert early.best == 0.8 and early.best_epoch == 4
+
+
+@pytest.fixture(scope="module")
+def tiny_training_run(tmp_path_factory):
+    run_dir = tmp_path_factory.mktemp("run")
+    ds = generate_standard_dataset(jax.random.key(0), 64)
+    config = TrainConfig(
+        batch_size=16,
+        num_epochs=4,
+        stratify_by_subdomain=False,
+        checkpoint_every_best=True,
+    )
+    model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4))
+    history = train_model(ds, config, run_dir, model=model, verbose=False)
+    return run_dir, history
+
+
+def test_training_reduces_loss(tiny_training_run):
+    _, history = tiny_training_run
+    assert history["train_loss"][-1] < history["train_loss"][0]
+    assert np.isfinite(history["val_loss"]).all()
+
+
+def test_checkpoints_and_artifacts(tiny_training_run):
+    run_dir, history = tiny_training_run
+    assert (run_dir / "config.json").exists()
+    assert (run_dir / "metrics.jsonl").exists()
+    assert (run_dir / "best_model").exists()
+    assert (run_dir / "final_model").exists()
+
+    final = restore_checkpoint(run_dir / "final_model")
+    assert final["epoch"] == history["num_epochs"] - 1
+    assert final["val_loss"] == pytest.approx(history["val_loss"][-1], rel=1e-6)
+
+    variables = load_model_variables(run_dir)
+    # restored params produce the same predictions as the in-memory state
+    model = history["model"]
+    state = history["state"]
+    x = jnp.zeros((1, 40, 40, 3), jnp.float32)
+    a = model.apply({"params": state.params, "batch_stats": state.batch_stats}, x, train=False)
+    # best != final in general; just check apply works and shapes match
+    b = model.apply(variables, x, train=False)
+    assert a.shape == b.shape == (1, 40, 40, 1)
+
+
+def test_physics_loss_training_runs(tmp_path):
+    ds = generate_standard_dataset(jax.random.key(2), 32)
+    config = TrainConfig(
+        batch_size=16, num_epochs=2, stratify_by_subdomain=False, physics_weight=0.1,
+        checkpoint_every_best=False,
+    )
+    model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
+    history = train_model(ds, config, tmp_path / "phys", model=model, verbose=False)
+    assert np.isfinite(history["train_loss"]).all()
