@@ -24,5 +24,19 @@ A brand-new JAX/XLA/Pallas/pjit framework with the capabilities of the reference
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if "JAX_PLATFORMS" in _os.environ:
+    # Some PJRT plugins (e.g. remote-TPU tunnels) register regardless of the
+    # JAX_PLATFORMS environment variable and will dial the device at import
+    # time; pin the platform through the config API so CPU-only subprocesses
+    # (tests, tooling) never contend for the chip.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from superresolution_for_pdes_tpu.ops import grid, resize, stencil  # noqa: F401
 from superresolution_for_pdes_tpu.solver.api import solve_poisson  # noqa: F401

@@ -1,0 +1,54 @@
+"""Command-line entry points.
+
+The reference exposes its workflows as ``if __name__ == '__main__'`` scripts
+with argparse flags (``--model_path``, ``--n_samples``, ``--n_examples``; see
+SURVEY.md layer map, "CLI" row). Here each workflow is a proper subcommand:
+
+    python -m superresolution_for_pdes_tpu generate_data ...
+    python -m superresolution_for_pdes_tpu train ...
+    python -m superresolution_for_pdes_tpu compare_methods ...
+    python -m superresolution_for_pdes_tpu out_of_sample ...
+    python -m superresolution_for_pdes_tpu compare_test_cases ...
+    python -m superresolution_for_pdes_tpu resolution_comparison ...
+    python -m superresolution_for_pdes_tpu statistical ...
+
+or equivalently ``python -m superresolution_for_pdes_tpu.cli.<name>``.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+
+def resolve_model(model_path: str | None, results_dir: str = "results"):
+    """Load (model, variables, train_stats) from an explicit checkpoint path,
+    a run dir, a reference ``.pth``, or the newest run under ``results_dir``
+    (the reference's discovery idiom, ``compare_methods.py:130-142``)."""
+    import jax.numpy as jnp
+
+    from superresolution_for_pdes_tpu.data.normalization import NormStats
+    from superresolution_for_pdes_tpu.models import AttentionUNet
+    from superresolution_for_pdes_tpu.train.checkpoint import (
+        load_model_variables,
+        restore_checkpoint,
+    )
+    from superresolution_for_pdes_tpu.utils.runs import find_latest_run_dir
+
+    if model_path is None:
+        model_path = find_latest_run_dir(results_dir)
+        print(f"using latest run: {model_path}")
+    path = Path(model_path)
+    if not path.exists():
+        raise FileNotFoundError(f"model not found at path: {path}")
+    variables = load_model_variables(path)
+
+    train_stats = None
+    try:
+        ckpt_dir = path if path.is_dir() and not (path / "best_model").exists() else path / "best_model"
+        restored = restore_checkpoint(ckpt_dir)
+        ns = restored.get("norm_stats")
+        if ns is not None:
+            train_stats = NormStats(**{k: jnp.asarray(v) for k, v in ns.items()})
+    except Exception:
+        pass
+    return AttentionUNet(), variables, train_stats

@@ -1,0 +1,63 @@
+"""Dataset generation CLI (reference ``data_generation.py:178-216`` and
+``enhanced_data_generation.py:246-293`` __main__ blocks)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Generate PDE training data on-device")
+    parser.add_argument("--n_standard", type=int, default=1000)
+    parser.add_argument("--n_subdomain", type=int, default=1000)
+    parser.add_argument("--standard_k", type=float, nargs=2, default=(0.5, 5.0))
+    parser.add_argument("--subdomain_k", type=float, nargs=2, default=(0.5, 12.0))
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--out", type=str, default="data")
+    parser.add_argument(
+        "--theta", choices=["constant", "varying", "mixed"], default="constant",
+        help="constant: reference parity (theta==1); varying: theta~U(0.5,2) "
+        "pointwise; mixed: both strata (TPU-build extension)",
+    )
+    args = parser.parse_args(argv)
+
+    from superresolution_for_pdes_tpu.data.generate import (
+        combine_datasets,
+        generate_enhanced_dataset,
+    )
+    from superresolution_for_pdes_tpu.data.io import save_dataset
+
+    print(
+        f"generating {args.n_standard} standard + {args.n_subdomain} subdomain "
+        f"samples (theta={args.theta})..."
+    )
+    key = jax.random.key(args.seed)
+    if args.theta == "mixed":
+        k1, k2 = jax.random.split(key)
+        dataset = combine_datasets(
+            generate_enhanced_dataset(
+                k1, args.n_standard, args.n_subdomain,
+                tuple(args.standard_k), tuple(args.subdomain_k), constant_theta=True,
+            ),
+            generate_enhanced_dataset(
+                k2, args.n_standard, args.n_subdomain,
+                tuple(args.standard_k), tuple(args.subdomain_k), constant_theta=False,
+            ),
+        )
+    else:
+        dataset = generate_enhanced_dataset(
+            key,
+            n_standard=args.n_standard,
+            n_subdomain=args.n_subdomain,
+            standard_k_range=tuple(args.standard_k),
+            subdomain_k_range=tuple(args.subdomain_k),
+            constant_theta=args.theta == "constant",
+        )
+    path = save_dataset(dataset, args.out)
+    print(f"saved {int(dataset['u_fine'].shape[0])} samples -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,41 @@
+"""Statistical benchmark CLI (reference ``resolution_comparison_statistical.py:501-540``)."""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+
+from superresolution_for_pdes_tpu.cli import resolve_model
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="N-example statistical benchmark with timings")
+    parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--n_examples", type=int, default=10)
+    parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
+    parser.add_argument("--k", type=float, nargs=2, default=(8.0, 12.0))
+    parser.add_argument("--stats_mode", choices=["oracle", "scene", "train"], default="oracle")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out", type=str, default="results/statistical")
+    args = parser.parse_args(argv)
+
+    model, variables, _ = resolve_model(args.model_path)
+
+    from superresolution_for_pdes_tpu.eval.statistical import run_statistical_benchmark
+
+    result = run_statistical_benchmark(
+        model, variables, jax.random.key(args.seed),
+        n_examples=args.n_examples, resolutions=tuple(args.resolutions),
+        k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
+    )
+    for res, a in result["aggregate"].items():
+        print(
+            f"{res}x{res}: ML MAE {a['ml_mae_mean']:.3e}+/-{a['ml_mae_std']:.1e} | "
+            f"bilinear {a['bilinear_mae_mean']:.3e} | advantage {a['ml_advantage']:.1f}x | "
+            f"ml {a['ml_time_mean']*1e3:.2f} ms, solve {a['solve_time_mean']*1e3:.2f} ms"
+        )
+
+
+if __name__ == "__main__":
+    main()

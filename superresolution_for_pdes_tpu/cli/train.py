@@ -1,0 +1,51 @@
+"""Training CLI (reference ``train.py:138-251`` / ``train_enhanced.py:185-360``)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> None:
+    parser = argparse.ArgumentParser(description="Train the attention U-Net")
+    parser.add_argument("--data", type=str, default="data/pde_dataset.npz")
+    parser.add_argument("--epochs", type=int, default=500)
+    parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=2e-4)
+    parser.add_argument("--physics_weight", type=float, default=0.0)
+    parser.add_argument("--dtype", type=str, default="float32")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--results", type=str, default="results")
+    parser.add_argument("--prefix", type=str, default="enhanced_")
+    parser.add_argument("--tensorboard", action="store_true")
+    parser.add_argument(
+        "--data_parallel", action="store_true",
+        help="shard batches over all available devices (GSPMD DP)",
+    )
+    args = parser.parse_args(argv)
+
+    from superresolution_for_pdes_tpu.data.io import load_dataset
+    from superresolution_for_pdes_tpu.parallel import data_mesh
+    from superresolution_for_pdes_tpu.train import TrainConfig, train_model
+    from superresolution_for_pdes_tpu.utils.runs import create_run_dir
+
+    config = TrainConfig(
+        batch_size=args.batch_size,
+        num_epochs=args.epochs,
+        learning_rate=args.lr,
+        physics_weight=args.physics_weight,
+        dtype=args.dtype,
+        seed=args.seed,
+        log_tensorboard=args.tensorboard,
+    )
+    dataset = load_dataset(args.data)
+    run_dir = create_run_dir(args.results, args.prefix)
+    mesh = data_mesh() if args.data_parallel else None
+    history = train_model(dataset, config, run_dir, mesh=mesh)
+    print(
+        f"best val loss {history['best_val_loss']:.6f} at epoch "
+        f"{history['best_epoch'] + 1} ({history['num_epochs']} epochs); run dir {run_dir}"
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,39 @@
+"""CLI smoke tests (subcommand dispatch + datagen end-to-end)."""
+
+import json
+import subprocess
+import sys
+import os
+
+import numpy as np
+
+
+def _run(args, cwd=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    return subprocess.run(
+        [sys.executable, "-m", "superresolution_for_pdes_tpu", *args],
+        capture_output=True, text=True, env=env, cwd=cwd,
+    )
+
+
+def test_dispatcher_help():
+    out = _run(["--help"])
+    assert out.returncode == 0
+    assert "resolution_comparison" in out.stdout
+
+
+def test_dispatcher_unknown():
+    out = _run(["frobnicate"])
+    assert out.returncode == 2
+
+
+def test_generate_data_cli(tmp_path):
+    out = _run(
+        ["generate_data", "--n_standard", "4", "--n_subdomain", "4",
+         "--out", str(tmp_path / "ds.npz")]
+    )
+    assert out.returncode == 0, out.stderr
+    data = np.load(tmp_path / "ds.npz")
+    assert data["u_fine"].shape == (8, 40, 40)
+    assert data["is_subdomain"].sum() == 4
