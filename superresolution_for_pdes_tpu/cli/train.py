@@ -21,6 +21,10 @@ def main(argv=None) -> None:
         "--data_parallel", action="store_true",
         help="shard batches over all available devices (GSPMD DP)",
     )
+    parser.add_argument(
+        "--resume_from", type=str, default=None,
+        help="checkpoint directory to resume full training state from",
+    )
     args = parser.parse_args(argv)
 
     from superresolution_for_pdes_tpu.data.io import load_dataset
@@ -40,7 +44,7 @@ def main(argv=None) -> None:
     dataset = load_dataset(args.data)
     run_dir = create_run_dir(args.results, args.prefix)
     mesh = data_mesh() if args.data_parallel else None
-    history = train_model(dataset, config, run_dir, mesh=mesh)
+    history = train_model(dataset, config, run_dir, mesh=mesh, resume_from=args.resume_from)
     print(
         f"best val loss {history['best_val_loss']:.6f} at epoch "
         f"{history['best_epoch'] + 1} ({history['num_epochs']} epochs); run dir {run_dir}"

@@ -173,6 +173,7 @@ def train_model(
     mesh: Optional[jax.sharding.Mesh] = None,
     model: Optional[AttentionUNet] = None,
     verbose: bool = True,
+    resume_from: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Full training job: split -> normalize -> epochs -> checkpoints.
 
@@ -180,6 +181,11 @@ def train_model(
     stratified 80/20 split, normalization stats from the *train* split,
     per-epoch train/val losses, plateau LR, early stopping, best + final
     checkpoints, config.json and metrics logging in ``run_dir``.
+
+    ``resume_from`` restores the complete training state (params, batch stats,
+    optimizer, scheduler/early-stop counters, epoch) from a checkpoint
+    directory and continues — the resume path the reference never had
+    (SURVEY.md section 5, checkpoint/resume).
     """
     from pathlib import Path
 
@@ -244,11 +250,34 @@ def train_model(
     )
     early = EarlyStopping(patience=config.early_stopping_patience)
 
+    start_epoch = 0
+    if resume_from is not None:
+        from superresolution_for_pdes_tpu.train.checkpoint import restore_checkpoint
+
+        restored = restore_checkpoint(resume_from)
+        state = state.replace(
+            params=restored["params"],
+            batch_stats=restored["batch_stats"],
+            opt_state=jax.tree.unflatten(
+                jax.tree.structure(state.opt_state),
+                jax.tree.leaves(restored["opt_state"]),
+            ),
+        )
+        plateau = ReduceLROnPlateau.from_state_dict(restored["plateau"])
+        early = EarlyStopping.from_state_dict(restored["early"])
+        start_epoch = int(restored["epoch"]) + 1
+        if mesh is not None:
+            state = jax.device_put(state, replicate)
+        if verbose:
+            print(f"resumed from {resume_from} at epoch {start_epoch + 1}")
+
     history = {"train_loss": [], "val_loss": [], "lr": []}
     shuffle_key = jax.random.key(config.seed + 1)
+    for _ in range(start_epoch):
+        shuffle_key, _ = jax.random.split(shuffle_key)
     n_train = len(train_idx)
 
-    for epoch in range(config.num_epochs):
+    for epoch in range(start_epoch, config.num_epochs):
         shuffle_key, epoch_key = jax.random.split(shuffle_key)
         idx_matrix = epoch_batch_indices(epoch_key, n_train, config.batch_size)
         state, train_loss = train_epoch(state, train_arrays, idx_matrix)

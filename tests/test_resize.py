@@ -28,7 +28,9 @@ def test_upsample2x_matches_torch(rng):
     x = rng.standard_normal((4, 8, 10, 10)).astype(np.float32)
     ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="bilinear", align_corners=True).numpy()
     ours = np.asarray(upsample2x(jnp.asarray(x)))
-    np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-6)
+    # f32 path: guard against precision regressions (a DEFAULT-precision
+    # einsum shows ~2e-2 error); tolerance is loose enough for f32 rounding.
+    np.testing.assert_allclose(ours, ref, rtol=2e-4, atol=2e-5)
 
 
 def test_downsample_stride_matches_reference_slicing(rng):
