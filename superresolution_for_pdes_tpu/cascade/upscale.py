@@ -29,7 +29,12 @@ from typing import Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from superresolution_for_pdes_tpu.cascade.tiles import split_tiles, stitch_tiles
+from superresolution_for_pdes_tpu.cascade.tiles import (
+    split_tiles,
+    split_tiles_overlapping,
+    stitch_tiles,
+    stitch_tiles_overlapping,
+)
 from superresolution_for_pdes_tpu.data.normalization import (
     NormStats,
     make_model_inputs,
@@ -66,6 +71,7 @@ def ml_multi_level_upscale(
     tile_sharding: Optional[jax.sharding.NamedSharding] = None,
     start_resolution: int = 40,
     coarse_tile: int = 20,
+    overlap: bool = False,
 ) -> jnp.ndarray:
     """Cascade from ``start_resolution`` to ``target_resolution``.
 
@@ -77,6 +83,10 @@ def ml_multi_level_upscale(
             ``"scene"`` — honest stats from the *current* solution and the
             known f/theta fields; ``"train"`` — fixed training-set stats
             (requires ``train_stats``).
+        overlap: half-tile-overlapping windows with feathered blending — a
+            TPU-build improvement removing the seam artifacts of the
+            reference's non-overlapping tiling (still one batched model call
+            per level).
     """
     fine_tile = 2 * coarse_tile
     current = data["u"][start_resolution]
@@ -98,13 +108,25 @@ def ml_multi_level_upscale(
         else:
             raise ValueError(f"unknown stats_mode: {stats_mode!r}")
 
-        u_tiles = split_tiles(current, coarse_tile)
-        f_tiles = split_tiles(data["f"][next_res], fine_tile)
-        theta_tiles = split_tiles(data["theta"][next_res], fine_tile)
-        up_tiles = upscale_tile_batch(
-            model, variables, u_tiles, f_tiles, theta_tiles, stats, tile_sharding
-        )
-        current = stitch_tiles(up_tiles)
+        if overlap and res > coarse_tile:
+            c_stride = coarse_tile // 2
+            u_tiles = split_tiles_overlapping(current, coarse_tile, c_stride)
+            f_tiles = split_tiles_overlapping(data["f"][next_res], fine_tile, 2 * c_stride)
+            theta_tiles = split_tiles_overlapping(
+                data["theta"][next_res], fine_tile, 2 * c_stride
+            )
+            up_tiles = upscale_tile_batch(
+                model, variables, u_tiles, f_tiles, theta_tiles, stats, tile_sharding
+            )
+            current = stitch_tiles_overlapping(up_tiles, next_res, 2 * c_stride)
+        else:
+            u_tiles = split_tiles(current, coarse_tile)
+            f_tiles = split_tiles(data["f"][next_res], fine_tile)
+            theta_tiles = split_tiles(data["theta"][next_res], fine_tile)
+            up_tiles = upscale_tile_batch(
+                model, variables, u_tiles, f_tiles, theta_tiles, stats, tile_sharding
+            )
+            current = stitch_tiles(up_tiles)
         res = next_res
     return current
 

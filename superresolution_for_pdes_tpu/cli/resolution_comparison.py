@@ -19,6 +19,8 @@ def main(argv=None) -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--shard_tiles", action="store_true",
                         help="shard the tile axis over all available devices")
+    parser.add_argument("--overlap", action="store_true",
+                        help="half-tile overlapping windows with feathered blending")
     parser.add_argument("--out", type=str, default="results/resolution_comparison")
     args = parser.parse_args(argv)
 
@@ -36,6 +38,7 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         resolutions=tuple(args.resolutions), k_range=tuple(args.k),
         stats_mode=args.stats_mode, save_dir=args.out, tile_sharding=tile_sharding,
+        overlap=args.overlap,
     )
     for res in args.resolutions:
         m = result["metrics"]

@@ -12,6 +12,8 @@ def main(argv=None) -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2e-4)
     parser.add_argument("--physics_weight", type=float, default=0.0)
+    parser.add_argument("--coarse_noise_std", type=float, default=0.0,
+                        help="train-time Gaussian noise on the coarse input channel")
     parser.add_argument("--dtype", type=str, default="float32")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--results", type=str, default="results")
@@ -37,6 +39,7 @@ def main(argv=None) -> None:
         num_epochs=args.epochs,
         learning_rate=args.lr,
         physics_weight=args.physics_weight,
+        coarse_noise_std=args.coarse_noise_std,
         dtype=args.dtype,
         seed=args.seed,
         log_tensorboard=args.tensorboard,

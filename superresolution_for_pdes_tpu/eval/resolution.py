@@ -36,6 +36,7 @@ def run_resolution_sweep(
     save_dir: Optional[Path] = None,
     scene: Optional[Dict] = None,
     tile_sharding=None,
+    overlap: bool = False,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``."""
@@ -47,7 +48,7 @@ def run_resolution_sweep(
     for res in resolutions:
         methods.setdefault("ml_multi_level", {})[res] = ml_multi_level_upscale(
             model, variables, scene, res, stats_mode=stats_mode,
-            tile_sharding=tile_sharding,
+            tile_sharding=tile_sharding, overlap=overlap,
         )
         methods.setdefault("bilinear_direct", {})[res] = interpolation_upscale(u40, res, "bilinear")
         methods.setdefault("bicubic_direct", {})[res] = interpolation_upscale(u40, res, "bicubic")

@@ -40,14 +40,30 @@ def evaluate_dataset(
     save_dir: Optional[Path] = None,
     stats: Optional[NormStats] = None,
     n_plot: int = 3,
+    space: str = "physical",
 ) -> Dict:
-    """Per-sample + summary metrics for ML vs bilinear vs bicubic at 40^2."""
+    """Per-sample + summary metrics for ML vs bilinear vs bicubic at 40^2.
+
+    ``space="physical"`` (default) compares denormalized fields like
+    ``compare_methods.py``/``compare_test_cases.py``; ``space="normalized"``
+    reproduces the reference visualizer's quirk of scoring in normalized
+    space without denormalizing (``visualization.py:117-128``).
+    """
+    if stats is None:
+        stats = NormStats.from_dataset(data)
     target = data["u_fine"]
     fine_shape = tuple(int(s) for s in target.shape[-2:])
 
     ml = predict_dataset(model, variables, data, stats)
     bilinear = resize_align_corners(data["u_coarse"], fine_shape, "bilinear")
     bicubic = resize_align_corners(data["u_coarse"], fine_shape, "bicubic")
+    if space == "normalized":
+        target = stats.normalize_u(target)
+        ml = stats.normalize_u(ml)
+        bilinear = stats.normalize_u(bilinear)
+        bicubic = stats.normalize_u(bicubic)
+    elif space != "physical":
+        raise ValueError(f"unknown metric space: {space!r}")
 
     per_sample = {
         "ml": {k: np.asarray(v) for k, v in compute_metrics(ml, target).items()},

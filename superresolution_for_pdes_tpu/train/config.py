@@ -31,6 +31,7 @@ class TrainConfig:
     stratify_by_subdomain: bool = True
     # TPU-native extensions (not in the reference):
     physics_weight: float = 0.0  # weight of the PDE-residual loss (README.md:152)
+    coarse_noise_std: float = 0.0  # train-time noise on the coarse input channel
     dtype: str = "float32"  # compute dtype for the model ("bfloat16" supported)
     mesh_shape: Optional[int] = None  # data-parallel device count (None = all)
     log_tensorboard: bool = False

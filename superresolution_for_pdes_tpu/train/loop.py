@@ -85,13 +85,21 @@ def make_train_fns(
     stats: NormStats,
     physics_weight: float = 0.0,
     batch_sharding: Optional[jax.sharding.NamedSharding] = None,
+    coarse_noise_std: float = 0.0,
 ) -> Tuple[Callable, Callable]:
     """Build (train_epoch, eval_loss) jitted functions.
 
-    ``train_epoch(state, arrays, idx_matrix) -> (state, mean_loss)`` scans the
-    whole epoch on device. ``arrays`` is the dict of device-resident tensors
-    ``{x, y, theta, f}`` (NHWC inputs/targets + physical fields for the
-    physics term).
+    ``train_epoch(state, arrays, idx_matrix, noise_key) -> (state, mean_loss)``
+    scans the whole epoch on device. ``arrays`` is the dict of device-resident
+    tensors ``{x, y, theta, f}`` (NHWC inputs/targets + physical fields for
+    the physics term).
+
+    ``coarse_noise_std`` (TPU-build extension): Gaussian noise of that std (in
+    normalized units) added to the upsampled-coarse input channel during
+    training — the cascade feeds the model its *own previous prediction* as
+    the coarse input at deeper levels (``resolution_comparison.py:226``), so
+    training on exact solutions only underestimates inference-time input
+    error; this augmentation closes that gap.
     """
 
     def constrain(tree):
@@ -136,13 +144,27 @@ def make_train_fns(
         )
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_epoch(state: TrainState, arrays: Dict[str, jnp.ndarray], idx_matrix: jnp.ndarray):
-        def body(carry, idx):
+    def train_epoch(
+        state: TrainState,
+        arrays: Dict[str, jnp.ndarray],
+        idx_matrix: jnp.ndarray,
+        noise_key: Optional[jax.Array] = None,
+    ):
+        def body(carry, scan_in):
+            step_idx, idx = scan_in
             batch = constrain({k: v[idx] for k, v in arrays.items()})
+            if coarse_noise_std > 0.0 and noise_key is not None:
+                key = jax.random.fold_in(noise_key, step_idx)
+                noise = coarse_noise_std * jax.random.normal(
+                    key, batch["x"].shape[:-1], batch["x"].dtype
+                )
+                batch = dict(batch)
+                batch["x"] = batch["x"].at[..., 0].add(noise)
             new_carry, loss = train_step(carry, batch)
             return new_carry, loss
 
-        state, losses = jax.lax.scan(body, state, idx_matrix)
+        steps = jnp.arange(idx_matrix.shape[0], dtype=jnp.int32)
+        state, losses = jax.lax.scan(body, state, (steps, idx_matrix))
         return state, jnp.mean(losses)
 
     @jax.jit
@@ -239,7 +261,8 @@ def train_model(
         val_arrays = jax.device_put(val_arrays, replicate)
 
     train_epoch, eval_loss = make_train_fns(
-        model, tx, stats, config.physics_weight, batch_sharding
+        model, tx, stats, config.physics_weight, batch_sharding,
+        coarse_noise_std=config.coarse_noise_std,
     )
 
     plateau = ReduceLROnPlateau(
@@ -280,7 +303,10 @@ def train_model(
     for epoch in range(start_epoch, config.num_epochs):
         shuffle_key, epoch_key = jax.random.split(shuffle_key)
         idx_matrix = epoch_batch_indices(epoch_key, n_train, config.batch_size)
-        state, train_loss = train_epoch(state, train_arrays, idx_matrix)
+        noise_key = (
+            jax.random.fold_in(epoch_key, 1) if config.coarse_noise_std > 0.0 else None
+        )
+        state, train_loss = train_epoch(state, train_arrays, idx_matrix, noise_key)
         val_loss = float(eval_loss(state, val_arrays))
         train_loss = float(train_loss)
 
