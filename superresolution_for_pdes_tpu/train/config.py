@@ -36,6 +36,11 @@ class TrainConfig:
     mesh_shape: Optional[int] = None  # data-parallel device count (None = all)
     log_tensorboard: bool = False
     checkpoint_every_best: bool = True
+    # Host checkpoint writes move the full train state off-device (expensive
+    # over remote-TPU tunnels); the best state is tracked as a free on-device
+    # reference and persisted only every `checkpoint_interval` improvements
+    # plus once at the end. 1 = write on every improvement.
+    checkpoint_interval: int = 25
 
     def to_json(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(dataclasses.asdict(self), indent=4))

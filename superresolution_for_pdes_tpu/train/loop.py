@@ -143,7 +143,9 @@ def make_train_fns(
             loss,
         )
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
+    # NOTE: no buffer donation — the training loop keeps the best epoch's
+    # state alive as an on-device snapshot, which donation would invalidate.
+    @jax.jit
     def train_epoch(
         state: TrainState,
         arrays: Dict[str, jnp.ndarray],
@@ -186,6 +188,24 @@ def prepare_arrays(dataset: Dict[str, jnp.ndarray], stats: NormStats, dtype=jnp.
         "theta": dataset["theta_fine"].astype(dtype),
         "f": dataset["f_fine"].astype(dtype),
     }
+
+
+def _save_best(run_dir, snapshot, stats) -> None:
+    state = snapshot["state"]
+    save_checkpoint(
+        run_dir / "best_model",
+        {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "epoch": snapshot["epoch"],
+            "train_loss": snapshot["train_loss"],
+            "val_loss": snapshot["val_loss"],
+            "plateau": snapshot["plateau"],
+            "early": snapshot["early"],
+            "norm_stats": jax.device_get(stats),
+        },
+    )
 
 
 def train_model(
@@ -299,6 +319,8 @@ def train_model(
     for _ in range(start_epoch):
         shuffle_key, _ = jax.random.split(shuffle_key)
     n_train = len(train_idx)
+    best_snapshot = None
+    last_ckpt_epoch = -(10**9)
 
     for epoch in range(start_epoch, config.num_epochs):
         shuffle_key, epoch_key = jax.random.split(shuffle_key)
@@ -325,33 +347,36 @@ def train_model(
             )
 
         stop = early.step(val_loss, epoch)
-        if early.improved and config.checkpoint_every_best:
-            save_checkpoint(
-                run_dir / "best_model",
-                {
-                    "params": state.params,
-                    "batch_stats": state.batch_stats,
-                    "opt_state": state.opt_state,
-                    "epoch": epoch,
-                    "train_loss": train_loss,
-                    "val_loss": val_loss,
-                    "plateau": plateau.state_dict(),
-                    "early": early.state_dict(),
-                    "norm_stats": jax.device_get(stats),
-                },
-            )
+        if early.improved:
+            # Free on-device snapshot (pytrees are immutable); host writes are
+            # throttled to every `checkpoint_interval` epochs because a full
+            # train-state transfer is expensive over remote-TPU tunnels.
+            best_snapshot = {
+                "state": state,
+                "epoch": epoch,
+                "train_loss": train_loss,
+                "val_loss": val_loss,
+                "plateau": plateau.state_dict(),
+                "early": early.state_dict(),
+            }
+            due = epoch - last_ckpt_epoch >= config.checkpoint_interval
+            if config.checkpoint_every_best and due:
+                _save_best(run_dir, best_snapshot, stats)
+                last_ckpt_epoch = epoch
         if stop:
             if verbose:
                 print(f"early stopping after {epoch + 1} epochs")
             break
 
+    if best_snapshot is not None and config.checkpoint_every_best:
+        _save_best(run_dir, best_snapshot, stats)
     save_checkpoint(
         run_dir / "final_model",
         {
             "params": state.params,
             "batch_stats": state.batch_stats,
             "opt_state": state.opt_state,
-            "epoch": len(history["train_loss"]) - 1,
+            "epoch": len(history["train_loss"]) + start_epoch - 1,
             "train_loss": history["train_loss"][-1],
             "val_loss": history["val_loss"][-1],
             "best_val_loss": early.best,
