@@ -306,8 +306,15 @@ def train_model(
                 jax.tree.leaves(restored["opt_state"]),
             ),
         )
+        # Counters/best come from the checkpoint; hyperparameters come from
+        # the *current* config (so a resume can e.g. raise the early-stopping
+        # patience of a run that stopped on a noisy plateau).
         plateau = ReduceLROnPlateau.from_state_dict(restored["plateau"])
+        plateau.factor = config.plateau_factor
+        plateau.patience = config.plateau_patience
+        plateau.min_lr = config.min_lr
         early = EarlyStopping.from_state_dict(restored["early"])
+        early.patience = config.early_stopping_patience
         start_epoch = int(restored["epoch"]) + 1
         if mesh is not None:
             state = jax.device_put(state, replicate)
@@ -392,6 +399,7 @@ def train_model(
     history["best_epoch"] = early.best_epoch
     history["num_epochs"] = len(history["train_loss"])
     history["state"] = state
+    history["best_state"] = best_snapshot["state"] if best_snapshot is not None else state
     history["stats"] = stats
     history["model"] = model
     return history
