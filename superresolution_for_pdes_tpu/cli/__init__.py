@@ -26,8 +26,10 @@ def resolve_model(model_path: str | None, results_dir: str = "results"):
     (the reference's discovery idiom, ``compare_methods.py:130-142``)."""
     import jax.numpy as jnp
 
+    import json
+
     from superresolution_for_pdes_tpu.data.normalization import NormStats
-    from superresolution_for_pdes_tpu.models import AttentionUNet
+    from superresolution_for_pdes_tpu.models import build_model
     from superresolution_for_pdes_tpu.train.checkpoint import (
         load_model_variables,
         restore_checkpoint,
@@ -51,4 +53,8 @@ def resolve_model(model_path: str | None, results_dir: str = "results"):
             train_stats = NormStats(**{k: jnp.asarray(v) for k, v in ns.items()})
     except Exception:
         pass
-    return AttentionUNet(), variables, train_stats
+    model_name = "attention_unet"
+    cfg_path = path / "config.json" if path.is_dir() else path.parent / "config.json"
+    if cfg_path.exists():
+        model_name = json.loads(cfg_path.read_text()).get("model", model_name)
+    return build_model(model_name), variables, train_stats

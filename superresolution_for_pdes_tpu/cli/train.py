@@ -15,6 +15,8 @@ def main(argv=None) -> None:
     parser.add_argument("--coarse_noise_std", type=float, default=0.0,
                         help="train-time Gaussian noise on the coarse input channel")
     parser.add_argument("--dtype", type=str, default="float32")
+    parser.add_argument("--model", type=str, default="attention_unet",
+                        help="model family (see models.registry.available_models())")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--results", type=str, default="results")
     parser.add_argument("--prefix", type=str, default="enhanced_")
@@ -41,6 +43,7 @@ def main(argv=None) -> None:
         physics_weight=args.physics_weight,
         coarse_noise_std=args.coarse_noise_std,
         dtype=args.dtype,
+        model=args.model,
         seed=args.seed,
         log_tensorboard=args.tensorboard,
     )

@@ -260,7 +260,9 @@ def train_model(
     val_arrays = prepare_arrays(val_ds, stats, dtype)
 
     if model is None:
-        model = AttentionUNet(dtype=dtype)
+        from superresolution_for_pdes_tpu.models.registry import build_model
+
+        model = build_model(config.model, dtype=dtype)
     model, variables = init_unet(jax.random.key(config.seed), model)
     tx = make_optimizer(config)
     state = TrainState(

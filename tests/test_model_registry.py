@@ -1,0 +1,38 @@
+"""Model registry and the residual-CNN baseline family."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from superresolution_for_pdes_tpu.data import generate_standard_dataset
+from superresolution_for_pdes_tpu.models import available_models, build_model, init_unet
+from superresolution_for_pdes_tpu.train import TrainConfig, train_model
+
+
+def test_registry():
+    assert set(available_models()) >= {"attention_unet", "resnet"}
+    m = build_model("resnet", features=16, num_blocks=2)
+    assert m.features == 16
+    with pytest.raises(ValueError, match="unknown model"):
+        build_model("transformer")
+
+
+def test_resnet_forward_and_residual(rng):
+    model, variables = init_unet(
+        jax.random.key(0), build_model("resnet", features=16, num_blocks=2)
+    )
+    x = jnp.asarray(rng.standard_normal((2, 40, 40, 3)), jnp.float32)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (2, 40, 40, 1)
+    y2 = model.apply(variables, x.at[..., 0].add(3.0), train=False)
+    assert float(np.mean(np.asarray(y2 - y))) == pytest.approx(3.0, abs=1.0)
+
+
+def test_train_with_registry_model(tmp_path):
+    ds = generate_standard_dataset(jax.random.key(0), 32)
+    cfg = TrainConfig(batch_size=16, num_epochs=2, stratify_by_subdomain=False,
+                      model="resnet", checkpoint_every_best=False)
+    h = train_model(ds, cfg, tmp_path / "r", verbose=False)
+    assert np.isfinite(h["train_loss"]).all()
+    assert h["model"].__class__.__name__ == "PDEResNet"
