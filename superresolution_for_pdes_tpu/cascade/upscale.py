@@ -61,6 +61,60 @@ def upscale_tile_batch(
     return stats.denormalize_u(pred[..., 0])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "precomputed_stats"),
+)
+def _fused_level(
+    model,
+    variables: Dict,
+    current: jnp.ndarray,
+    f_next: jnp.ndarray,
+    theta_next: jnp.ndarray,
+    stats_source,
+    coarse_tile: int,
+    overlap: bool,
+    tile_sharding,
+    precomputed_stats: bool,
+) -> jnp.ndarray:
+    """One whole cascade level — stats, tiling, normalization, model forward,
+    denormalization and stitching — as a single XLA program.
+
+    The naive per-level pipeline costs ~10 separate dispatches; over a remote
+    TPU link each dispatch pays tens of ms of latency, so fusing the level
+    into one program cuts most of the cascade's wall-clock.
+    """
+    if precomputed_stats:
+        stats = stats_source  # a NormStats pytree
+    else:
+        stats = NormStats.from_fields(stats_source, f_next, theta_next)
+    fine_tile = 2 * coarse_tile
+    next_res = f_next.shape[-1]
+
+    def run_tiles(u_tiles, f_tiles, theta_tiles):
+        x = make_model_inputs(u_tiles, f_tiles, theta_tiles, stats,
+                              fine_shape=(fine_tile, fine_tile))
+        if tile_sharding is not None:
+            x = jax.lax.with_sharding_constraint(x, tile_sharding)
+        pred = model.apply(variables, x, train=False)
+        return stats.denormalize_u(pred[..., 0])
+
+    if overlap:
+        c_stride = coarse_tile // 2
+        up_tiles = run_tiles(
+            split_tiles_overlapping(current, coarse_tile, c_stride),
+            split_tiles_overlapping(f_next, fine_tile, 2 * c_stride),
+            split_tiles_overlapping(theta_next, fine_tile, 2 * c_stride),
+        )
+        return stitch_tiles_overlapping(up_tiles, next_res, 2 * c_stride)
+    up_tiles = run_tiles(
+        split_tiles(current, coarse_tile),
+        split_tiles(f_next, fine_tile),
+        split_tiles(theta_next, fine_tile),
+    )
+    return stitch_tiles(up_tiles)
+
+
 def ml_multi_level_upscale(
     model,
     variables: Dict,
@@ -88,45 +142,27 @@ def ml_multi_level_upscale(
             reference's non-overlapping tiling (still one batched model call
             per level).
     """
-    fine_tile = 2 * coarse_tile
+    if stats_mode not in ("oracle", "scene", "train"):
+        raise ValueError(f"unknown stats_mode: {stats_mode!r}")
+    if stats_mode == "train" and train_stats is None:
+        raise ValueError("stats_mode='train' requires train_stats")
+
     current = data["u"][start_resolution]
     res = start_resolution
     while res < target_resolution:
         next_res = res * 2
         if stats_mode == "oracle":
-            stats = NormStats.from_fields(
-                data["u"][next_res], data["f"][next_res], data["theta"][next_res]
-            )
+            stats_source, precomputed = data["u"][next_res], False
         elif stats_mode == "scene":
-            stats = NormStats.from_fields(
-                current, data["f"][next_res], data["theta"][next_res]
-            )
-        elif stats_mode == "train":
-            if train_stats is None:
-                raise ValueError("stats_mode='train' requires train_stats")
-            stats = train_stats
+            stats_source, precomputed = current, False
         else:
-            raise ValueError(f"unknown stats_mode: {stats_mode!r}")
-
-        if overlap and res > coarse_tile:
-            c_stride = coarse_tile // 2
-            u_tiles = split_tiles_overlapping(current, coarse_tile, c_stride)
-            f_tiles = split_tiles_overlapping(data["f"][next_res], fine_tile, 2 * c_stride)
-            theta_tiles = split_tiles_overlapping(
-                data["theta"][next_res], fine_tile, 2 * c_stride
-            )
-            up_tiles = upscale_tile_batch(
-                model, variables, u_tiles, f_tiles, theta_tiles, stats, tile_sharding
-            )
-            current = stitch_tiles_overlapping(up_tiles, next_res, 2 * c_stride)
-        else:
-            u_tiles = split_tiles(current, coarse_tile)
-            f_tiles = split_tiles(data["f"][next_res], fine_tile)
-            theta_tiles = split_tiles(data["theta"][next_res], fine_tile)
-            up_tiles = upscale_tile_batch(
-                model, variables, u_tiles, f_tiles, theta_tiles, stats, tile_sharding
-            )
-            current = stitch_tiles(up_tiles)
+            stats_source, precomputed = train_stats, True
+        current = _fused_level(
+            model, variables, current,
+            data["f"][next_res], data["theta"][next_res], stats_source,
+            coarse_tile=coarse_tile, overlap=overlap,
+            tile_sharding=tile_sharding, precomputed_stats=precomputed,
+        )
         res = next_res
     return current
 

@@ -25,6 +25,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     model, variables, train_stats = resolve_model(args.model_path)
+    if args.stats_mode == "train" and train_stats is None:
+        raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
     tile_sharding = None
     if args.shard_tiles:
         from superresolution_for_pdes_tpu.parallel import data_mesh
@@ -38,7 +40,7 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         resolutions=tuple(args.resolutions), k_range=tuple(args.k),
         stats_mode=args.stats_mode, save_dir=args.out, tile_sharding=tile_sharding,
-        overlap=args.overlap,
+        overlap=args.overlap, train_stats=train_stats,
     )
     for res in args.resolutions:
         m = result["metrics"]

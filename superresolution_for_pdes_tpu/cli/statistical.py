@@ -20,7 +20,9 @@ def main(argv=None) -> None:
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
 
-    model, variables, _ = resolve_model(args.model_path)
+    model, variables, train_stats = resolve_model(args.model_path)
+    if args.stats_mode == "train" and train_stats is None:
+        raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
 
     from superresolution_for_pdes_tpu.eval.statistical import run_statistical_benchmark
 
@@ -28,6 +30,7 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         n_examples=args.n_examples, resolutions=tuple(args.resolutions),
         k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
+        train_stats=train_stats,
     )
     for res, a in result["aggregate"].items():
         print(

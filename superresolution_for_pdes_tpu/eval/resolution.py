@@ -37,6 +37,7 @@ def run_resolution_sweep(
     scene: Optional[Dict] = None,
     tile_sharding=None,
     overlap: bool = False,
+    train_stats=None,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``."""
@@ -48,7 +49,7 @@ def run_resolution_sweep(
     for res in resolutions:
         methods.setdefault("ml_multi_level", {})[res] = ml_multi_level_upscale(
             model, variables, scene, res, stats_mode=stats_mode,
-            tile_sharding=tile_sharding, overlap=overlap,
+            tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
         )
         methods.setdefault("bilinear_direct", {})[res] = interpolation_upscale(u40, res, "bilinear")
         methods.setdefault("bicubic_direct", {})[res] = interpolation_upscale(u40, res, "bicubic")

@@ -30,7 +30,8 @@ from superresolution_for_pdes_tpu.cascade.upscale import (
 from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
 
 
-def run_single_example(model, variables, key, resolutions, k_range, stats_mode, timings=True):
+def run_single_example(model, variables, key, resolutions, k_range, stats_mode,
+                       timings=True, train_stats=None):
     scene = solve_multi_resolution(
         key, resolutions=tuple(resolutions), k_range=k_range, time_solves=timings
     )
@@ -38,7 +39,8 @@ def run_single_example(model, variables, key, resolutions, k_range, stats_mode, 
                     "solve_times": scene.get("solve_times", {})}
     for res in resolutions:
         t0 = time.perf_counter()
-        ml = ml_multi_level_upscale(model, variables, scene, res, stats_mode=stats_mode)
+        ml = ml_multi_level_upscale(model, variables, scene, res, stats_mode=stats_mode,
+                                    train_stats=train_stats)
         ml.block_until_ready()
         ml_time = time.perf_counter() - t0
 
@@ -66,17 +68,20 @@ def run_statistical_benchmark(
     k_range: Tuple[float, float] = (8.0, 12.0),
     stats_mode: str = "oracle",
     save_dir: Optional[Path] = None,
+    train_stats=None,
 ) -> Dict:
     # Warm-up scene compiles every per-resolution program so timings below
     # measure steady-state execution.
     key, warm = jax.random.split(key)
-    run_single_example(model, variables, warm, resolutions, k_range, stats_mode, timings=False)
+    run_single_example(model, variables, warm, resolutions, k_range, stats_mode,
+                       timings=False, train_stats=train_stats)
 
     records = []
     for _ in range(n_examples):
         key, sub = jax.random.split(key)
         records.append(
-            run_single_example(model, variables, sub, resolutions, k_range, stats_mode)
+            run_single_example(model, variables, sub, resolutions, k_range, stats_mode,
+                               train_stats=train_stats)
         )
 
     aggregate: Dict = {}
