@@ -38,6 +38,7 @@ from superresolution_for_pdes_tpu.cascade.tiles import (
 from superresolution_for_pdes_tpu.data.normalization import (
     NormStats,
     make_model_inputs,
+    per_sample_stats,
 )
 from superresolution_for_pdes_tpu.ops.resize import resize_align_corners
 
@@ -63,7 +64,7 @@ def upscale_tile_batch(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "precomputed_stats"),
+    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind"),
 )
 def _fused_level(
     model,
@@ -75,7 +76,7 @@ def _fused_level(
     coarse_tile: int,
     overlap: bool,
     tile_sharding,
-    precomputed_stats: bool,
+    stats_kind: str,
 ) -> jnp.ndarray:
     """One whole cascade level — stats, tiling, normalization, model forward,
     denormalization and stitching — as a single XLA program.
@@ -84,14 +85,22 @@ def _fused_level(
     TPU link each dispatch pays tens of ms of latency, so fusing the level
     into one program cuts most of the cascade's wall-clock.
     """
-    if precomputed_stats:
-        stats = stats_source  # a NormStats pytree
-    else:
-        stats = NormStats.from_fields(stats_source, f_next, theta_next)
     fine_tile = 2 * coarse_tile
     next_res = f_next.shape[-1]
+    if stats_kind == "per_tile":
+        stats = None  # computed per tile batch below
+    elif stats_kind == "precomputed":
+        stats = stats_source  # a NormStats pytree
+    else:  # "field": u-stats field + f/theta of this level
+        stats = NormStats.from_fields(stats_source, f_next, theta_next)
 
     def run_tiles(u_tiles, f_tiles, theta_tiles):
+        nonlocal stats
+        if stats_kind == "per_tile":
+            # Fully local self-normalization: each tile's stats come from its
+            # own coarse input and known f/theta windows — no scene-level or
+            # oracle statistics, and zero cross-tile reductions.
+            stats = per_sample_stats(u_tiles, f_tiles, theta_tiles)
         x = make_model_inputs(u_tiles, f_tiles, theta_tiles, stats,
                               fine_shape=(fine_tile, fine_tile))
         if tile_sharding is not None:
@@ -136,13 +145,15 @@ def ml_multi_level_upscale(
             of each level (reference parity, ``resolution_comparison.py:196-201``);
             ``"scene"`` — honest stats from the *current* solution and the
             known f/theta fields; ``"train"`` — fixed training-set stats
-            (requires ``train_stats``).
+            (requires ``train_stats``); ``"tile"`` — fully local per-tile
+            self-normalization (pair with a model trained with
+            ``normalization='per_sample'``).
         overlap: half-tile-overlapping windows with feathered blending — a
             TPU-build improvement removing the seam artifacts of the
             reference's non-overlapping tiling (still one batched model call
             per level).
     """
-    if stats_mode not in ("oracle", "scene", "train"):
+    if stats_mode not in ("oracle", "scene", "train", "tile"):
         raise ValueError(f"unknown stats_mode: {stats_mode!r}")
     if stats_mode == "train" and train_stats is None:
         raise ValueError("stats_mode='train' requires train_stats")
@@ -152,16 +163,18 @@ def ml_multi_level_upscale(
     while res < target_resolution:
         next_res = res * 2
         if stats_mode == "oracle":
-            stats_source, precomputed = data["u"][next_res], False
+            stats_source, kind = data["u"][next_res], "field"
         elif stats_mode == "scene":
-            stats_source, precomputed = current, False
-        else:
-            stats_source, precomputed = train_stats, True
+            stats_source, kind = current, "field"
+        elif stats_mode == "train":
+            stats_source, kind = train_stats, "precomputed"
+        else:  # "tile": fully local self-normalization
+            stats_source, kind = None, "per_tile"
         current = _fused_level(
             model, variables, current,
             data["f"][next_res], data["theta"][next_res], stats_source,
             coarse_tile=coarse_tile, overlap=overlap,
-            tile_sharding=tile_sharding, precomputed_stats=precomputed,
+            tile_sharding=tile_sharding, stats_kind=kind,
         )
         res = next_res
     return current

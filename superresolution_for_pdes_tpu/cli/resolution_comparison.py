@@ -15,7 +15,7 @@ def main(argv=None) -> None:
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
     parser.add_argument("--k", type=float, nargs=2, default=(10.0, 11.0))
-    parser.add_argument("--stats_mode", choices=["oracle", "scene", "train"], default="oracle")
+    parser.add_argument("--stats_mode", choices=["oracle", "scene", "train", "tile"], default="oracle")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--shard_tiles", action="store_true",
                         help="shard the tile axis over all available devices")

@@ -15,7 +15,7 @@ def main(argv=None) -> None:
     parser.add_argument("--n_examples", type=int, default=10)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
     parser.add_argument("--k", type=float, nargs=2, default=(8.0, 12.0))
-    parser.add_argument("--stats_mode", choices=["oracle", "scene", "train"], default="oracle")
+    parser.add_argument("--stats_mode", choices=["oracle", "scene", "train", "tile"], default="oracle")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)

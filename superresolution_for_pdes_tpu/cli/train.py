@@ -17,6 +17,9 @@ def main(argv=None) -> None:
     parser.add_argument("--dtype", type=str, default="float32")
     parser.add_argument("--model", type=str, default="attention_unet",
                         help="model family (see models.registry.available_models())")
+    parser.add_argument("--normalization", choices=["dataset", "per_sample"],
+                        default="dataset",
+                        help="dataset-level stats (reference parity) or self-normalization")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--results", type=str, default="results")
     parser.add_argument("--prefix", type=str, default="enhanced_")
@@ -44,6 +47,7 @@ def main(argv=None) -> None:
         coarse_noise_std=args.coarse_noise_std,
         dtype=args.dtype,
         model=args.model,
+        normalization=args.normalization,
         seed=args.seed,
         log_tensorboard=args.tensorboard,
     )

@@ -23,9 +23,21 @@ from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
 from superresolution_for_pdes_tpu.ops.resize import resize_align_corners
 
 
-def predict_dataset(model, variables, data: Dict, stats: Optional[NormStats] = None) -> jnp.ndarray:
-    """Denormalized ML predictions for every sample of a dataset dict."""
-    if stats is None:
+def predict_dataset(
+    model, variables, data: Dict, stats: Optional[NormStats] = None,
+    normalization: str = "dataset",
+) -> jnp.ndarray:
+    """Denormalized ML predictions for every sample of a dataset dict.
+
+    ``normalization="per_sample"`` self-normalizes each sample from its own
+    coarse input / forcing / coefficient (for models trained with
+    ``TrainConfig.normalization='per_sample'``).
+    """
+    if normalization == "per_sample":
+        from superresolution_for_pdes_tpu.data.normalization import per_sample_stats
+
+        stats = per_sample_stats(data["u_coarse"], data["f_fine"], data["theta_fine"])
+    elif stats is None:
         stats = NormStats.from_dataset(data)
     x = make_model_inputs(data["u_coarse"], data["f_fine"], data["theta_fine"], stats)
     pred = model.apply(variables, x, train=False)
@@ -41,6 +53,7 @@ def evaluate_dataset(
     stats: Optional[NormStats] = None,
     n_plot: int = 3,
     space: str = "physical",
+    normalization: str = "dataset",
 ) -> Dict:
     """Per-sample + summary metrics for ML vs bilinear vs bicubic at 40^2.
 
@@ -54,7 +67,7 @@ def evaluate_dataset(
     target = data["u_fine"]
     fine_shape = tuple(int(s) for s in target.shape[-2:])
 
-    ml = predict_dataset(model, variables, data, stats)
+    ml = predict_dataset(model, variables, data, stats, normalization=normalization)
     bilinear = resize_align_corners(data["u_coarse"], fine_shape, "bilinear")
     bicubic = resize_align_corners(data["u_coarse"], fine_shape, "bicubic")
     if space == "normalized":

@@ -30,6 +30,7 @@ class TrainConfig:
     seed: int = 42
     stratify_by_subdomain: bool = True
     model: str = "attention_unet"  # see models.registry.available_models()
+    normalization: str = "dataset"  # "dataset" (reference parity) or "per_sample"
     # TPU-native extensions (not in the reference):
     physics_weight: float = 0.0  # weight of the PDE-residual loss (README.md:152)
     coarse_noise_std: float = 0.0  # train-time noise on the coarse input channel

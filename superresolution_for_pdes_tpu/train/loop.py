@@ -122,8 +122,20 @@ def make_train_fns(
         mse = jnp.mean((pred - batch["y"]) ** 2)
         loss = mse
         if physics_weight > 0.0:
+            # Per-sample normalization carries its stats in the batch arrays;
+            # dataset normalization uses the fixed closed-over stats.
+            if "u_std" in batch:
+                phys_stats = NormStats(
+                    u_mean=batch["u_mean"], u_std=batch["u_std"],
+                    f_mean=batch["f_mean"], f_std=batch["f_std"],
+                    theta_mean=jnp.zeros_like(batch["u_mean"]),
+                    theta_std=jnp.ones_like(batch["u_std"]),
+                    theta_is_constant=jnp.asarray(True),
+                )
+            else:
+                phys_stats = stats
             loss = loss + physics_weight * pde_residual_loss(
-                pred, batch["theta"], batch["f"], stats
+                pred, batch["theta"], batch["f"], phys_stats
             )
         return loss, (mse, new_stats)
 
@@ -178,9 +190,26 @@ def make_train_fns(
     return train_epoch, eval_loss
 
 
-def prepare_arrays(dataset: Dict[str, jnp.ndarray], stats: NormStats, dtype=jnp.float32):
-    """Normalized NHWC tensors + physical fields, device-resident."""
-    return {
+def prepare_arrays(
+    dataset: Dict[str, jnp.ndarray],
+    stats: NormStats,
+    dtype=jnp.float32,
+    per_sample: bool = False,
+):
+    """Normalized NHWC tensors + physical fields, device-resident.
+
+    ``per_sample=True`` self-normalizes every sample with stats computed from
+    its own coarse input / forcing / coefficient (see
+    :func:`~superresolution_for_pdes_tpu.data.normalization.per_sample_stats`)
+    and carries those stats in the arrays for the physics loss.
+    """
+    if per_sample:
+        from superresolution_for_pdes_tpu.data.normalization import per_sample_stats
+
+        stats = per_sample_stats(
+            dataset["u_coarse"], dataset["f_fine"], dataset["theta_fine"]
+        )
+    arrays = {
         "x": make_model_inputs(
             dataset["u_coarse"], dataset["f_fine"], dataset["theta_fine"], stats
         ).astype(dtype),
@@ -188,6 +217,12 @@ def prepare_arrays(dataset: Dict[str, jnp.ndarray], stats: NormStats, dtype=jnp.
         "theta": dataset["theta_fine"].astype(dtype),
         "f": dataset["f_fine"].astype(dtype),
     }
+    if per_sample:
+        arrays.update(
+            u_mean=stats.u_mean.astype(dtype), u_std=stats.u_std.astype(dtype),
+            f_mean=stats.f_mean.astype(dtype), f_std=stats.f_std.astype(dtype),
+        )
+    return arrays
 
 
 def _save_best(run_dir, snapshot, stats) -> None:
@@ -256,8 +291,9 @@ def train_model(
     # each split, models.py:154-168 — we use train stats for both, the
     # principled choice; cascade inference recomputes scene stats anyway).
     stats = NormStats.from_dataset(train_ds)
-    train_arrays = prepare_arrays(train_ds, stats, dtype)
-    val_arrays = prepare_arrays(val_ds, stats, dtype)
+    per_sample = config.normalization == "per_sample"
+    train_arrays = prepare_arrays(train_ds, stats, dtype, per_sample=per_sample)
+    val_arrays = prepare_arrays(val_ds, stats, dtype, per_sample=per_sample)
 
     if model is None:
         from superresolution_for_pdes_tpu.models.registry import build_model
