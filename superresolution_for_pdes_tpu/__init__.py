@@ -26,15 +26,17 @@ __version__ = "0.1.0"
 
 import os as _os
 
-if "JAX_PLATFORMS" in _os.environ:
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
     # Some PJRT plugins (e.g. remote-TPU tunnels) register regardless of the
-    # JAX_PLATFORMS environment variable and will dial the device at import
-    # time; pin the platform through the config API so CPU-only subprocesses
-    # (tests, tooling) never contend for the chip.
+    # JAX_PLATFORMS environment variable and will dial the (single-holder)
+    # device at import time; pin the platform through the config API so
+    # CPU-only subprocesses (tests, tooling) never contend for the chip.
+    # Only the CPU case is pinned: plugin platform names (e.g. 'axon'
+    # registering as 'tpu') must stay under JAX's own resolution.
     import jax as _jax
 
     try:
-        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+        _jax.config.update("jax_platforms", "cpu")
     except Exception:
         pass
 
