@@ -5,6 +5,11 @@ Run on any backend (TPU chip, CPU, or the virtual mesh):
     python examples/quickstart.py          # small demo sizes
 """
 
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))  # repo checkout
+
 import jax
 import jax.numpy as jnp
 
@@ -27,10 +32,17 @@ def main():
     u = solve_poisson(f, jnp.ones_like(f))
     print(f"batched direct solve: {u.shape}, |u|max={float(jnp.abs(u).max()):.2e}")
 
-    # 2. Generate a small training mix on-device and train briefly.
+    # 2. Generate a small training mix on-device and train briefly (a
+    #    reduced-width model keeps this demo fast even on CPU; drop the
+    #    `model=` argument to train the full 7.8M-parameter flagship).
+    from superresolution_for_pdes_tpu.models import AttentionUNet
+
     dataset = generate_enhanced_dataset(jax.random.key(0), 64, 64)
     config = TrainConfig(num_epochs=5, physics_weight=0.1)
-    history = train_model(dataset, config, "results/quickstart_run", verbose=True)
+    demo_model = AttentionUNet(enc_features=(16, 32, 64), bridge_features=128,
+                               head_features=(16, 8))
+    history = train_model(dataset, config, "results/quickstart_run",
+                          model=demo_model, verbose=True)
 
     # 3. Multi-level cascade inference vs the bilinear baseline.
     model, state = history["model"], history["best_state"]
