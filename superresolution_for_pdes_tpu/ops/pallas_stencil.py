@@ -32,16 +32,21 @@ def _on_tpu() -> bool:
 
 
 def _shift_sum_vmem(u: jnp.ndarray) -> jnp.ndarray:
-    """Sum of the four zero-padded neighbor shifts of a 2-D VMEM block."""
+    """Sum of the four zero-padded neighbor shifts of a 2-D VMEM block.
+
+    Accumulates shift-by-shift (rather than materializing all four shifted
+    copies at once) to keep peak VMEM pressure low — at 640^2 float32 the
+    four-live-temporaries version exceeds the 16 MB scoped-vmem limit.
+    """
     n_rows, n_cols = u.shape
     row = jax.lax.broadcasted_iota(jnp.int32, u.shape, 0)
     col = jax.lax.broadcasted_iota(jnp.int32, u.shape, 1)
     # pltpu.roll requires non-negative shifts: shift by size-1 == shift by -1.
-    up = jnp.where(row < n_rows - 1, pltpu.roll(u, n_rows - 1, 0), 0.0)     # u[i+1, j]
-    down = jnp.where(row > 0, pltpu.roll(u, 1, 0), 0.0)                     # u[i-1, j]
-    right = jnp.where(col < n_cols - 1, pltpu.roll(u, n_cols - 1, 1), 0.0)  # u[i, j+1]
-    left = jnp.where(col > 0, pltpu.roll(u, 1, 1), 0.0)                     # u[i, j-1]
-    return up + down + left + right
+    acc = jnp.where(row < n_rows - 1, pltpu.roll(u, n_rows - 1, 0), 0.0)      # u[i+1, j]
+    acc = acc + jnp.where(row > 0, pltpu.roll(u, 1, 0), 0.0)                  # u[i-1, j]
+    acc = acc + jnp.where(col < n_cols - 1, pltpu.roll(u, n_cols - 1, 1), 0.0)  # u[i, j+1]
+    acc = acc + jnp.where(col > 0, pltpu.roll(u, 1, 1), 0.0)                  # u[i, j-1]
+    return acc
 
 
 def _apply_op_kernel(theta_ref, u_ref, h2_ref, out_ref):
