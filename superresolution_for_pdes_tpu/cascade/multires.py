@@ -84,3 +84,67 @@ def solve_multi_resolution(
     if time_solves:
         data["solve_times"] = solve_times
     return data
+
+
+def solve_multi_resolution_batch(
+    key: jax.Array,
+    n_scenes: int,
+    n_coarse: int = 40,
+    resolutions: Sequence[int] = (80, 160, 320, 640),
+    k_range: Tuple[float, float] = (8.0, 12.0),
+    theta_range: Tuple[float, float] = (0.5, 2.0),
+    dtype=jnp.float32,
+    refine_iters: int = 1,
+    time_solves: bool = False,
+) -> Dict:
+    """Batched scenes: every field gains a leading ``(n_scenes,)`` axis.
+
+    The statistical harness's scene loop (reference
+    ``resolution_comparison_statistical.py:501-540`` runs N fully serial
+    examples) becomes one batched program per resolution — the per-scene
+    direct-solve cost is the batched solve time divided by N.
+    """
+    keys = jax.random.split(key, n_scenes)
+    k1_key, k2_key, theta_key = jax.vmap(lambda k: jax.random.split(k, 3))(keys).swapaxes(0, 1)
+    lo, hi = k_range
+    k1 = jax.vmap(lambda k: jax.random.uniform(k, (), dtype, lo, hi))(k1_key)
+    k2 = jax.vmap(lambda k: jax.random.uniform(k, (), dtype, lo, hi))(k2_key)
+
+    n_finest = max(resolutions)
+    g = make_grid(n_finest, dtype)
+    X, Y = jnp.meshgrid(g, g, indexing="xy")
+    f_finest = jnp.sin(2.0 * jnp.pi * k1[:, None, None] * X) * jnp.sin(
+        2.0 * jnp.pi * k2[:, None, None] * Y
+    )
+    theta_finest = jax.vmap(
+        lambda k: jax.random.uniform(
+            k, (n_finest, n_finest), dtype, theta_range[0], theta_range[1]
+        )
+    )(theta_key)
+
+    data: Dict = {
+        "k1": jax.device_get(k1), "k2": jax.device_get(k2),
+        "f": {}, "theta": {}, "u": {},
+    }
+    solve_times: Dict[int, float] = {}
+    solve = jax.jit(lambda f, t: solve_poisson_dst(f, t, refine_iters=refine_iters))
+    for res in [n_coarse] + list(resolutions):
+        step = n_finest // res
+        f_res = f_finest[:, ::step, ::step]
+        theta_res = theta_finest[:, ::step, ::step]
+        data["f"][res] = f_res
+        data["theta"][res] = theta_res
+        if time_solves:
+            # Warm (compile) call first; then timed via a forced scalar fetch
+            # (block_until_ready over remote-TPU tunnels can return early).
+            float(jnp.sum(solve(f_res, theta_res)))
+            t0 = time.perf_counter()
+            u = solve(f_res, theta_res)
+            float(jnp.sum(u))
+            solve_times[res] = (time.perf_counter() - t0) / n_scenes
+        else:
+            u = solve(f_res, theta_res)
+        data["u"][res] = u
+    if time_solves:
+        data["solve_times"] = solve_times
+    return data

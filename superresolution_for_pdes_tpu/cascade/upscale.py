@@ -24,7 +24,7 @@ level jit-compiles once and is reused across scenes.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -55,18 +55,15 @@ def upscale_tile_batch(
 ) -> jnp.ndarray:
     """One batched tile upscale: normalize -> model -> denormalize."""
     x = make_model_inputs(u_coarse_tiles, f_fine_tiles, theta_fine_tiles, stats,
-                          fine_shape=f_fine_tiles.shape[-2:])
+                          fine_shape=f_fine_tiles.shape[-2:],
+                          scale_channels=model.in_channels > 3)
     if tile_sharding is not None:
         x = jax.lax.with_sharding_constraint(x, tile_sharding)
     pred = model.apply(variables, x, train=False)
     return stats.denormalize_u(pred[..., 0])
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind"),
-)
-def _fused_level(
+def _level_body(
     model,
     variables: Dict,
     current: jnp.ndarray,
@@ -78,13 +75,8 @@ def _fused_level(
     tile_sharding,
     stats_kind: str,
 ) -> jnp.ndarray:
-    """One whole cascade level — stats, tiling, normalization, model forward,
-    denormalization and stitching — as a single XLA program.
-
-    The naive per-level pipeline costs ~10 separate dispatches; over a remote
-    TPU link each dispatch pays tens of ms of latency, so fusing the level
-    into one program cuts most of the cascade's wall-clock.
-    """
+    """One cascade level — stats, tiling, normalization, model forward,
+    denormalization and stitching — as straight-line traced code (callers jit)."""
     fine_tile = 2 * coarse_tile
     next_res = f_next.shape[-1]
     if stats_kind == "per_tile":
@@ -102,7 +94,8 @@ def _fused_level(
             # oracle statistics, and zero cross-tile reductions.
             stats = per_sample_stats(u_tiles, f_tiles, theta_tiles)
         x = make_model_inputs(u_tiles, f_tiles, theta_tiles, stats,
-                              fine_shape=(fine_tile, fine_tile))
+                              fine_shape=(fine_tile, fine_tile),
+                              scale_channels=model.in_channels > 3)
         if tile_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, tile_sharding)
         pred = model.apply(variables, x, train=False)
@@ -122,6 +115,138 @@ def _fused_level(
         split_tiles(theta_next, fine_tile),
     )
     return stitch_tiles(up_tiles)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind"),
+)
+def _fused_level(
+    model,
+    variables: Dict,
+    current: jnp.ndarray,
+    f_next: jnp.ndarray,
+    theta_next: jnp.ndarray,
+    stats_source,
+    coarse_tile: int,
+    overlap: bool,
+    tile_sharding,
+    stats_kind: str,
+) -> jnp.ndarray:
+    """One whole cascade level as a single XLA program.
+
+    The naive per-level pipeline costs ~10 separate dispatches; over a remote
+    TPU link each dispatch pays tens of ms of latency, so fusing the level
+    into one program cuts most of the cascade's wall-clock.
+    """
+    return _level_body(model, variables, current, f_next, theta_next,
+                       stats_source, coarse_tile, overlap, tile_sharding, stats_kind)
+
+
+def _stats_source_kind(stats_mode: str, truth, current, train_stats):
+    if stats_mode == "oracle":
+        return truth, "field"
+    if stats_mode == "scene":
+        return current, "field"
+    if stats_mode == "train":
+        return train_stats, "precomputed"
+    return None, "per_tile"  # "tile": fully local self-normalization
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "model", "resolutions", "coarse_tile", "overlap", "tile_sharding", "stats_mode",
+    ),
+)
+def _cascade_program(
+    model,
+    variables: Dict,
+    u_start: jnp.ndarray,           # (B?, r0, r0)
+    f_levels: Tuple[jnp.ndarray, ...],      # per level, (B?, res, res)
+    theta_levels: Tuple[jnp.ndarray, ...],
+    u_truth_levels,                 # tuple like f_levels (oracle) or None
+    train_stats,                    # NormStats or None
+    resolutions: Tuple[int, ...],
+    coarse_tile: int,
+    overlap: bool,
+    tile_sharding,
+    stats_mode: str,
+):
+    """The ENTIRE cascade (all levels, all scenes) as one XLA program.
+
+    Levels are a static unrolled chain (shapes double each level, so this is a
+    straight-line graph); an optional leading scene axis is mapped with
+    ``lax.map`` — scenes run back-to-back on device with zero per-scene or
+    per-level dispatch overhead (the reference pays a Python loop of
+    ``(res/20)^2`` batch-1 model calls per level per scene,
+    ``resolution_comparison.py:183-229``). Returns one output field per level.
+    """
+
+    def one_scene(args):
+        current, fs, thetas, u_truths = args
+        outs = []
+        for i in range(len(resolutions)):
+            truth = u_truths[i] if u_truths is not None else None
+            stats_source, kind = _stats_source_kind(stats_mode, truth, current, train_stats)
+            current = _level_body(
+                model, variables, current, fs[i], thetas[i], stats_source,
+                coarse_tile=coarse_tile, overlap=overlap,
+                tile_sharding=tile_sharding, stats_kind=kind,
+            )
+            outs.append(current)
+        return tuple(outs)
+
+    batched = u_start.ndim == 3
+    if not batched:
+        return one_scene((u_start, f_levels, theta_levels, u_truth_levels))
+    return jax.lax.map(one_scene, (u_start, f_levels, theta_levels, u_truth_levels))
+
+
+def ml_cascade(
+    model,
+    variables: Dict,
+    data: Dict,
+    target_resolution: int,
+    stats_mode: str = "scene",
+    train_stats: Optional[NormStats] = None,
+    tile_sharding: Optional[jax.sharding.NamedSharding] = None,
+    start_resolution: int = 40,
+    coarse_tile: int = 20,
+    overlap: bool = False,
+) -> Dict[int, jnp.ndarray]:
+    """Fused multi-scene cascade: ONE device program for all levels (and all
+    scenes when the ``data`` fields carry a leading batch axis), returning the
+    ML field at *every* intermediate resolution.
+
+    This supersedes per-target re-runs: one pass to 640 produces the
+    80/160/320 fields for free (they are the cascade's own intermediates —
+    identical values to what per-target calls compute, since each level's
+    computation depends only on the level chain below it).
+    """
+    if stats_mode not in ("oracle", "scene", "train", "tile"):
+        raise ValueError(f"unknown stats_mode: {stats_mode!r}")
+    if stats_mode == "train" and train_stats is None:
+        raise ValueError("stats_mode='train' requires train_stats")
+
+    resolutions = []
+    res = start_resolution
+    while res < target_resolution:
+        res *= 2
+        resolutions.append(res)
+    resolutions = tuple(resolutions)
+
+    f_levels = tuple(data["f"][r] for r in resolutions)
+    theta_levels = tuple(data["theta"][r] for r in resolutions)
+    u_truths = (
+        tuple(data["u"][r] for r in resolutions) if stats_mode == "oracle" else None
+    )
+    outs = _cascade_program(
+        model, variables, data["u"][start_resolution], f_levels, theta_levels,
+        u_truths, train_stats, resolutions, coarse_tile, overlap,
+        tile_sharding, stats_mode,
+    )
+    return dict(zip(resolutions, outs))
 
 
 def ml_multi_level_upscale(
@@ -153,31 +278,13 @@ def ml_multi_level_upscale(
             reference's non-overlapping tiling (still one batched model call
             per level).
     """
-    if stats_mode not in ("oracle", "scene", "train", "tile"):
-        raise ValueError(f"unknown stats_mode: {stats_mode!r}")
-    if stats_mode == "train" and train_stats is None:
-        raise ValueError("stats_mode='train' requires train_stats")
-
-    current = data["u"][start_resolution]
-    res = start_resolution
-    while res < target_resolution:
-        next_res = res * 2
-        if stats_mode == "oracle":
-            stats_source, kind = data["u"][next_res], "field"
-        elif stats_mode == "scene":
-            stats_source, kind = current, "field"
-        elif stats_mode == "train":
-            stats_source, kind = train_stats, "precomputed"
-        else:  # "tile": fully local self-normalization
-            stats_source, kind = None, "per_tile"
-        current = _fused_level(
-            model, variables, current,
-            data["f"][next_res], data["theta"][next_res], stats_source,
-            coarse_tile=coarse_tile, overlap=overlap,
-            tile_sharding=tile_sharding, stats_kind=kind,
-        )
-        res = next_res
-    return current
+    outs = ml_cascade(
+        model, variables, data, target_resolution, stats_mode=stats_mode,
+        train_stats=train_stats, tile_sharding=tile_sharding,
+        start_resolution=start_resolution, coarse_tile=coarse_tile,
+        overlap=overlap,
+    )
+    return outs[target_resolution]
 
 
 def interpolation_upscale(

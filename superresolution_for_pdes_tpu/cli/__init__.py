@@ -20,6 +20,17 @@ from __future__ import annotations
 from pathlib import Path
 
 
+def enable_compilation_cache(path: str = "/tmp/superres_pde_xla_cache") -> None:
+    """Persistent XLA compilation cache: the U-Net train/cascade programs cost
+    ~30-160 s to compile but are stable across runs, so every CLI entry point
+    enables the on-disk cache — reruns skip straight to execution (a large
+    share of the <10-min train-to-convergence budget)."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def resolve_model(model_path: str | None, results_dir: str = "results"):
     """Load (model, variables, train_stats) from an explicit checkpoint path,
     a run dir, a reference ``.pth``, or the newest run under ``results_dir``
@@ -54,7 +65,11 @@ def resolve_model(model_path: str | None, results_dir: str = "results"):
     except Exception:
         pass
     model_name = "attention_unet"
+    overrides = {}
     cfg_path = path / "config.json" if path.is_dir() else path.parent / "config.json"
     if cfg_path.exists():
-        model_name = json.loads(cfg_path.read_text()).get("model", model_name)
-    return build_model(model_name), variables, train_stats
+        cfg = json.loads(cfg_path.read_text())
+        model_name = cfg.get("model", model_name)
+        if cfg.get("scale_channels"):
+            overrides["in_channels"] = 5
+    return build_model(model_name, **overrides), variables, train_stats

@@ -10,6 +10,9 @@ from superresolution_for_pdes_tpu.cli import resolve_model
 
 
 def main(argv=None) -> None:
+    from superresolution_for_pdes_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="ML vs interpolation at 40x40")
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--data", type=str, default=None,

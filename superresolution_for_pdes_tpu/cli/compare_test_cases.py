@@ -10,6 +10,9 @@ from superresolution_for_pdes_tpu.cli import resolve_model
 
 
 def main(argv=None) -> None:
+    from superresolution_for_pdes_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(
         description="in/out-of-sample x const/varying-theta generalization grid"
     )

@@ -9,6 +9,9 @@ import jax
 
 
 def main(argv=None) -> None:
+    from superresolution_for_pdes_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Generate PDE training data on-device")
     parser.add_argument("--n_standard", type=int, default=1000)
     parser.add_argument("--n_subdomain", type=int, default=1000)
@@ -21,10 +24,25 @@ def main(argv=None) -> None:
         help="constant: reference parity (theta==1); varying: theta~U(0.5,2) "
         "pointwise; mixed: both strata (TPU-build extension)",
     )
+    parser.add_argument(
+        "--n_cascade_scenes", type=int, default=0,
+        help="additionally mix in cascade-consistent tiles from this many "
+        "multi-resolution scenes (TPU-build extension; see "
+        "data.generate.generate_cascade_dataset)",
+    )
+    parser.add_argument("--cascade_tiles_per_level", type=int, default=8)
+    parser.add_argument("--cascade_k", type=float, nargs=2, default=(0.5, 12.0))
+    parser.add_argument("--cascade_finest", type=int, default=640)
+    parser.add_argument(
+        "--plot_samples", type=int, default=20,
+        help="plot this many random samples as a visual check (reference "
+        "enhanced_data_generation.py:193-244); 0 disables",
+    )
     args = parser.parse_args(argv)
 
     from superresolution_for_pdes_tpu.data.generate import (
         combine_datasets,
+        generate_cascade_dataset,
         generate_enhanced_dataset,
     )
     from superresolution_for_pdes_tpu.data.io import save_dataset
@@ -55,8 +73,28 @@ def main(argv=None) -> None:
             subdomain_k_range=tuple(args.subdomain_k),
             constant_theta=args.theta == "constant",
         )
+    if args.n_cascade_scenes > 0:
+        ck = jax.random.fold_in(key, 99)
+        cascade = generate_cascade_dataset(
+            ck, args.n_cascade_scenes, tiles_per_level=args.cascade_tiles_per_level,
+            k_range=tuple(args.cascade_k), finest=args.cascade_finest,
+            constant_theta=args.theta == "constant",
+        )
+        print(f"  + {int(cascade['u_fine'].shape[0])} cascade-consistent tiles")
+        dataset = combine_datasets(dataset, cascade)
     path = save_dataset(dataset, args.out)
     print(f"saved {int(dataset['u_fine'].shape[0])} samples -> {path}")
+
+    if args.plot_samples > 0:
+        from pathlib import Path
+
+        from superresolution_for_pdes_tpu.eval.plots import plot_dataset_samples
+
+        out = plot_dataset_samples(
+            dataset, n_samples=args.plot_samples, seed=args.seed,
+            out_dir=Path(path).parent / "dataset_samples",
+        )
+        print(f"sample plots -> {out}")
 
 
 if __name__ == "__main__":

@@ -11,6 +11,9 @@ from superresolution_for_pdes_tpu.cli import resolve_model
 
 
 def main(argv=None) -> None:
+    from superresolution_for_pdes_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Multi-level cascade resolution sweep")
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])

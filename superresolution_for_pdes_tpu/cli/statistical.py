@@ -10,6 +10,9 @@ from superresolution_for_pdes_tpu.cli import resolve_model
 
 
 def main(argv=None) -> None:
+    from superresolution_for_pdes_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="N-example statistical benchmark with timings")
     parser.add_argument("--model_path", type=str, default=None)
     parser.add_argument("--n_examples", type=int, default=10)

@@ -6,6 +6,9 @@ import argparse
 
 
 def main(argv=None) -> None:
+    from superresolution_for_pdes_tpu.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Train the attention U-Net")
     parser.add_argument("--data", type=str, default="data/pde_dataset.npz")
     parser.add_argument("--epochs", type=int, default=500)
@@ -20,6 +23,12 @@ def main(argv=None) -> None:
     parser.add_argument("--normalization", choices=["dataset", "per_sample"],
                         default="dataset",
                         help="dataset-level stats (reference parity) or self-normalization")
+    parser.add_argument("--scale_channels", action="store_true",
+                        help="append log-scale input channels (scale-aware "
+                        "self-normalization; pair with --normalization per_sample)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="join the multi-host JAX runtime "
+                        "(jax.distributed.initialize) before building the mesh")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--results", type=str, default="results")
     parser.add_argument("--prefix", type=str, default="enhanced_")
@@ -48,9 +57,16 @@ def main(argv=None) -> None:
         dtype=args.dtype,
         model=args.model,
         normalization=args.normalization,
+        scale_channels=args.scale_channels,
         seed=args.seed,
         log_tensorboard=args.tensorboard,
     )
+    if args.multihost:
+        from superresolution_for_pdes_tpu.parallel import initialize_multihost
+
+        topo = initialize_multihost()
+        print(f"multihost: process {topo['process_index']}/{topo['process_count']}, "
+              f"{topo['global_devices']} global devices")
     dataset = load_dataset(args.data)
     run_dir = create_run_dir(args.results, args.prefix)
     mesh = data_mesh() if args.data_parallel else None

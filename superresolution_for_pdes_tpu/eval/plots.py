@@ -145,3 +145,105 @@ def plot_box(series: Dict[str, np.ndarray], ylabel: str, out_path: Path, log: bo
     fig.tight_layout()
     fig.savefig(out_path, dpi=150)
     plt.close(fig)
+
+
+def plot_mean_std_bands(resolutions: Sequence[int],
+                        series: Dict[str, tuple],
+                        ylabel: str, out_path: Path, log: bool = True):
+    """Mean +/- std bands per resolution (reference
+    ``resolution_comparison_statistical.py:299-340``): one line per method
+    with a shaded +/-1 sigma band over the N independent examples."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 7))
+    for name, (mean, std) in series.items():
+        mean = np.asarray(mean, dtype=float)
+        std = np.asarray(std, dtype=float)
+        ax.plot(resolutions, mean, "o-", label=name)
+        ax.fill_between(resolutions, np.maximum(mean - std, 1e-30), mean + std, alpha=0.25)
+    ax.set_xscale("log", base=2)
+    if log:
+        ax.set_yscale("log")
+    ax.set_xticks(list(resolutions), [f"{r}x{r}" for r in resolutions])
+    ax.set_xlabel("Resolution")
+    ax.set_ylabel(ylabel)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_scatter_vs_k(k_sum: np.ndarray, series: Dict[str, np.ndarray],
+                      ylabel: str, out_path: Path):
+    """Error vs wave-number-sum scatter (reference
+    ``resolution_comparison_statistical.py:341-376``): MAE of each method
+    against k1+k2 of the example, one marker per example."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 7))
+    for name, values in series.items():
+        ax.scatter(k_sum, values, label=name, alpha=0.8)
+    ax.set_yscale("log")
+    ax.set_xlabel("k1 + k2")
+    ax.set_ylabel(ylabel)
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_computation_times(resolutions: Sequence[int],
+                           times: Dict[str, Sequence[float]], out_path: Path):
+    """Computation-time comparison per resolution (reference
+    ``resolution_comparison_statistical.py:378-440``,
+    ``computation_times.png``)."""
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(10, 7))
+    for name, values in times.items():
+        ax.plot(resolutions, np.asarray(values, dtype=float) * 1e3, "o-", label=name)
+    ax.set_xscale("log", base=2)
+    ax.set_yscale("log")
+    ax.set_xticks(list(resolutions), [f"{r}x{r}" for r in resolutions])
+    ax.set_xlabel("Resolution")
+    ax.set_ylabel("Wall-clock time (ms)")
+    ax.grid(True, alpha=0.3)
+    ax.legend()
+    fig.tight_layout()
+    fig.savefig(out_path, dpi=150)
+    plt.close(fig)
+
+
+def plot_dataset_samples(dataset, n_samples: int = 20, seed: int = 0,
+                         out_dir: str | Path = "results/dataset_samples") -> Path:
+    """Visual datagen check: n random samples as (coarse u, fine u, theta, f)
+    rows (reference ``enhanced_data_generation.py:193-244``,
+    ``results/random_samples.png``)."""
+    plt = _plt()
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    n_total = int(np.asarray(dataset["u_fine"]).shape[0])
+    n_samples = min(n_samples, n_total)
+    rng = np.random.default_rng(seed)
+    indices = rng.choice(n_total, size=n_samples, replace=False)
+    is_sub = np.asarray(dataset.get("is_subdomain", np.zeros(n_total, bool)))
+
+    fig, axes = plt.subplots(n_samples, 4, figsize=(16, 3 * n_samples), squeeze=False)
+    for i, idx in enumerate(indices):
+        panels = [
+            (f"Coarse u {idx}" + (" (subdomain)" if is_sub[idx] else ""),
+             dataset["u_coarse"][idx]),
+            (f"Fine u {idx}", dataset["u_fine"][idx]),
+            (f"Theta {idx}", dataset["theta_fine"][idx]),
+            (f"Forcing {idx}", dataset["f_fine"][idx]),
+        ]
+        for ax, (title, field) in zip(axes[i], panels):
+            im = ax.imshow(np.asarray(field))
+            ax.set_title(title)
+            ax.set_xticks([])
+            ax.set_yticks([])
+            fig.colorbar(im, ax=ax, fraction=0.046)
+    fig.tight_layout()
+    path = out_dir / "random_samples.png"
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+    return path

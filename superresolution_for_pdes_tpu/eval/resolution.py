@@ -20,7 +20,7 @@ import numpy as np
 from superresolution_for_pdes_tpu.cascade.multires import solve_multi_resolution
 from superresolution_for_pdes_tpu.cascade.upscale import (
     interpolation_upscale,
-    ml_multi_level_upscale,
+    ml_cascade,
     multi_level_interpolation_upscale,
 )
 from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
@@ -46,11 +46,13 @@ def run_resolution_sweep(
 
     methods = {}
     u40 = scene["u"][40]
+    # All cascade levels in ONE fused device program (the per-target fields
+    # are the cascade's own intermediates; see cascade.upscale.ml_cascade).
+    methods["ml_multi_level"] = ml_cascade(
+        model, variables, scene, max(resolutions), stats_mode=stats_mode,
+        tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
+    )
     for res in resolutions:
-        methods.setdefault("ml_multi_level", {})[res] = ml_multi_level_upscale(
-            model, variables, scene, res, stats_mode=stats_mode,
-            tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
-        )
         methods.setdefault("bilinear_direct", {})[res] = interpolation_upscale(u40, res, "bilinear")
         methods.setdefault("bicubic_direct", {})[res] = interpolation_upscale(u40, res, "bicubic")
         methods.setdefault("bilinear_multi_level", {})[res] = multi_level_interpolation_upscale(u40, res, "bilinear")
@@ -76,6 +78,7 @@ def run_resolution_sweep(
         from superresolution_for_pdes_tpu.eval.plots import (
             plot_error_distribution,
             plot_resolution_metrics,
+            plot_sample_comparison,
         )
 
         plot_resolution_metrics(
@@ -92,5 +95,18 @@ def run_resolution_sweep(
                 },
                 f"Error distribution at {res}x{res}",
                 save_dir / f"error_distribution_{res}x{res}.png",
+            )
+            # Per-resolution multi-panel field comparison — the reference's
+            # flagship visual artifact (resolution_comparison_enhanced.py:67-317,
+            # committed comparison_enhanced_{res}x{res}.png).
+            plot_sample_comparison(
+                coarse=np.asarray(u40),
+                truth=truth,
+                ml=np.asarray(methods["ml_multi_level"][res]),
+                bilinear=np.asarray(methods["bilinear_direct"][res]),
+                theta=np.asarray(scene["theta"][res]),
+                forcing=np.asarray(scene["f"][res]),
+                k1=scene["k1"], k2=scene["k2"],
+                out_path=save_dir / f"comparison_enhanced_{res}x{res}.png",
             )
     return result

@@ -4,12 +4,18 @@ Replicates the reference harness (``/root/reference/src/
 resolution_comparison_statistical.py:98-540``): N examples (default 10,
 k ~ U(8, 12), ``:40-41``), per-example MAE/RMSE for ML cascade vs bilinear at
 every resolution, wall-clock timings of the direct solver / ML cascade /
-bilinear upscaling, aggregated into CSV + summary text + box/timing plots.
-The reference's plotting crash (5 args to a 7-arg function, ``:200-203``) is
-of course not replicated.
+bilinear upscaling, aggregated into CSV + summary text + box plots,
+mean+/-std band charts, MAE-vs-(k1+k2) scatter and the computation-times
+figure (``:299-499``). The reference's plotting crash (5 args to a 7-arg
+function, ``:200-203``) is of course not replicated.
 
-Timings use ``block_until_ready`` around jitted calls; the first (compile)
-call per shape is excluded by a warm-up scene.
+TPU-first: the reference runs the N examples fully serially — N x 4 target
+resolutions x (res/20)^2 batch-1 model calls. Here ALL scenes and ALL cascade
+levels execute as ONE fused XLA program per target resolution
+(:func:`~superresolution_for_pdes_tpu.cascade.upscale.ml_cascade` with a
+batched scene axis); ground truth generation is one batched direct solve per
+resolution. Timings force completion with a scalar fetch
+(``block_until_ready`` over remote-TPU tunnels can return early).
 """
 
 from __future__ import annotations
@@ -20,11 +26,16 @@ from pathlib import Path
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
-from superresolution_for_pdes_tpu.cascade.multires import solve_multi_resolution
+from superresolution_for_pdes_tpu.cascade.multires import (
+    solve_multi_resolution,
+    solve_multi_resolution_batch,
+)
 from superresolution_for_pdes_tpu.cascade.upscale import (
     interpolation_upscale,
+    ml_cascade,
     ml_multi_level_upscale,
 )
 from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
@@ -32,6 +43,8 @@ from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
 
 def run_single_example(model, variables, key, resolutions, k_range, stats_mode,
                        timings=True, train_stats=None):
+    """One scene through the cascade (kept for API parity with the reference's
+    ``run_single_example``; the batched harness below is the fast path)."""
     scene = solve_multi_resolution(
         key, resolutions=tuple(resolutions), k_range=k_range, time_solves=timings
     )
@@ -41,12 +54,12 @@ def run_single_example(model, variables, key, resolutions, k_range, stats_mode,
         t0 = time.perf_counter()
         ml = ml_multi_level_upscale(model, variables, scene, res, stats_mode=stats_mode,
                                     train_stats=train_stats)
-        ml.block_until_ready()
+        float(jnp.sum(ml))
         ml_time = time.perf_counter() - t0
 
         t0 = time.perf_counter()
         bl = interpolation_upscale(scene["u"][40], res, "bilinear")
-        bl.block_until_ready()
+        float(jnp.sum(bl))
         bl_time = time.perf_counter() - t0
 
         truth = scene["u"][res]
@@ -69,20 +82,59 @@ def run_statistical_benchmark(
     stats_mode: str = "oracle",
     save_dir: Optional[Path] = None,
     train_stats=None,
+    overlap: bool = False,
 ) -> Dict:
-    # Warm-up scene compiles every per-resolution program so timings below
-    # measure steady-state execution.
-    key, warm = jax.random.split(key)
-    run_single_example(model, variables, warm, resolutions, k_range, stats_mode,
-                       timings=False, train_stats=train_stats)
+    resolutions = tuple(resolutions)
+    scenes = solve_multi_resolution_batch(
+        key, n_examples, resolutions=resolutions, k_range=k_range, time_solves=True
+    )
+    solve_times = scenes.pop("solve_times")
+
+    # One fused program for all scenes and all levels; per-target timings come
+    # from truncated cascade calls (each is still one program for N scenes).
+    # Values are identical: deeper targets reuse the same level chain.
+    top = max(resolutions)
+    ml_times: Dict[int, float] = {}
+    for res in resolutions:
+        out = ml_cascade(model, variables, scenes, res, stats_mode=stats_mode,
+                         train_stats=train_stats, overlap=overlap)
+        float(jnp.sum(out[res]))  # warm/compile
+        t0 = time.perf_counter()
+        out = ml_cascade(model, variables, scenes, res, stats_mode=stats_mode,
+                         train_stats=train_stats, overlap=overlap)
+        float(jnp.sum(out[res]))
+        ml_times[res] = (time.perf_counter() - t0) / n_examples
+    ml_fields = ml_cascade(model, variables, scenes, top, stats_mode=stats_mode,
+                           train_stats=train_stats, overlap=overlap)
+
+    bl_fields: Dict[int, jnp.ndarray] = {}
+    bl_times: Dict[int, float] = {}
+    for res in resolutions:
+        bl = interpolation_upscale(scenes["u"][40], res, "bilinear")
+        float(jnp.sum(bl))
+        t0 = time.perf_counter()
+        bl = interpolation_upscale(scenes["u"][40], res, "bilinear")
+        float(jnp.sum(bl))
+        bl_times[res] = (time.perf_counter() - t0) / n_examples
+        bl_fields[res] = bl
 
     records = []
-    for _ in range(n_examples):
-        key, sub = jax.random.split(key)
-        records.append(
-            run_single_example(model, variables, sub, resolutions, k_range, stats_mode,
-                               train_stats=train_stats)
-        )
+    for i in range(n_examples):
+        record: Dict = {
+            "k1": float(scenes["k1"][i]), "k2": float(scenes["k2"][i]),
+            "solve_times": dict(solve_times),
+        }
+        for res in resolutions:
+            truth = scenes["u"][res][i]
+            record[res] = {
+                "ml": {k: float(v) for k, v in
+                       compute_metrics(ml_fields[res][i], truth).items()},
+                "bilinear": {k: float(v) for k, v in
+                             compute_metrics(bl_fields[res][i], truth).items()},
+                "ml_time": ml_times[res],
+                "bilinear_time": bl_times[res],
+            }
+        records.append(record)
 
     aggregate: Dict = {}
     for res in resolutions:
@@ -92,9 +144,9 @@ def run_statistical_benchmark(
             "ml_mae_mean": float(ml_mae.mean()), "ml_mae_std": float(ml_mae.std()),
             "bilinear_mae_mean": float(bl_mae.mean()), "bilinear_mae_std": float(bl_mae.std()),
             "ml_advantage": float(bl_mae.mean() / max(ml_mae.mean(), 1e-30)),
-            "ml_time_mean": float(np.mean([r[res]["ml_time"] for r in records])),
-            "bilinear_time_mean": float(np.mean([r[res]["bilinear_time"] for r in records])),
-            "solve_time_mean": float(np.mean([r["solve_times"].get(res, np.nan) for r in records])),
+            "ml_time_mean": ml_times[res],
+            "bilinear_time_mean": bl_times[res],
+            "solve_time_mean": float(solve_times.get(res, np.nan)),
         }
 
     result = {"records": records, "aggregate": aggregate, "n_examples": n_examples,
@@ -142,7 +194,12 @@ def _write_csv_and_plots(records, aggregate, resolutions, save_dir: Path):
         ]
     (save_dir / "summary.txt").write_text("\n".join(lines) + "\n")
 
-    from superresolution_for_pdes_tpu.eval.plots import plot_box
+    from superresolution_for_pdes_tpu.eval.plots import (
+        plot_box,
+        plot_computation_times,
+        plot_mean_std_bands,
+        plot_scatter_vs_k,
+    )
 
     for res in resolutions:
         plot_box(
@@ -154,3 +211,37 @@ def _write_csv_and_plots(records, aggregate, resolutions, save_dir: Path):
             out_path=save_dir / f"mae_box_{res}x{res}.png",
             log=True,
         )
+
+    # Mean +/- std bands, k-scatter and timing figures (reference
+    # resolution_comparison_statistical.py:299-499).
+    plot_mean_std_bands(
+        resolutions,
+        {
+            "ML": ([aggregate[r]["ml_mae_mean"] for r in resolutions],
+                   [aggregate[r]["ml_mae_std"] for r in resolutions]),
+            "Bilinear": ([aggregate[r]["bilinear_mae_mean"] for r in resolutions],
+                         [aggregate[r]["bilinear_mae_std"] for r in resolutions]),
+        },
+        ylabel="MAE",
+        out_path=save_dir / "mae_mean_std_bands.png",
+    )
+    k_sum = np.array([r["k1"] + r["k2"] for r in records])
+    top = max(resolutions)
+    plot_scatter_vs_k(
+        k_sum,
+        {
+            "ML": np.array([r[top]["ml"]["mae"] for r in records]),
+            "Bilinear": np.array([r[top]["bilinear"]["mae"] for r in records]),
+        },
+        ylabel=f"MAE at {top}x{top}",
+        out_path=save_dir / "mae_vs_wavenumber.png",
+    )
+    plot_computation_times(
+        resolutions,
+        {
+            "ML cascade": [aggregate[r]["ml_time_mean"] for r in resolutions],
+            "Bilinear": [aggregate[r]["bilinear_time_mean"] for r in resolutions],
+            "Direct solve": [aggregate[r]["solve_time_mean"] for r in resolutions],
+        },
+        out_path=save_dir / "computation_times.png",
+    )

@@ -175,11 +175,17 @@ class AttentionUNet(nn.Module):
 def init_unet(
     rng: jax.Array,
     model: AttentionUNet | None = None,
-    input_shape: tuple[int, ...] = (1, 40, 40, 3),
+    input_shape: tuple[int, ...] | None = None,
 ):
-    """Initialize (params, batch_stats) for the U-Net."""
+    """Initialize (params, batch_stats) for the U-Net (or any registry model).
+
+    ``input_shape`` defaults to ``(1, 40, 40, model.in_channels)`` so models
+    with scale-aware extra input channels initialize correctly.
+    """
     if model is None:
         model = AttentionUNet()
+    if input_shape is None:
+        input_shape = (1, 40, 40, model.in_channels)
     variables = model.init(rng, jnp.zeros(input_shape, model.dtype), train=False)
     return model, variables
 

@@ -9,5 +9,6 @@ ICI automatically. Multi-host extends the same program via
 ``jax.distributed.initialize`` — no custom transport layer.
 """
 
-from superresolution_for_pdes_tpu.parallel.mesh import data_mesh, device_count  # noqa: F401
+from superresolution_for_pdes_tpu.parallel.mesh import data_mesh, device_count, grid_mesh  # noqa: F401
+from superresolution_for_pdes_tpu.parallel.multihost import initialize_multihost  # noqa: F401
 from superresolution_for_pdes_tpu.parallel.online import make_online_train_step  # noqa: F401

@@ -57,14 +57,5 @@ def load_model_variables(run_dir: str | Path, which: str = "best_model") -> Dict
     return {"params": restored["params"], "batch_stats": restored["batch_stats"]}
 
 
-def find_latest_run(base_dir: str | Path = "results", prefix: str = "") -> Path:
-    """Newest run directory containing a ``best_model`` checkpoint — the
-    reference's discovery idiom (``compare_methods.py:130-142``)."""
-    base = Path(base_dir)
-    candidates = sorted(
-        (d for d in base.glob(f"{prefix}*run_*") if (d / "best_model").exists()),
-        key=lambda d: d.stat().st_mtime,
-    )
-    if not candidates:
-        raise FileNotFoundError(f"no run directory with a best_model under {base}")
-    return candidates[-1]
+# Latest-run discovery lives in utils/runs.py (find_latest_run_dir) — the
+# single implementation of the reference's idiom (compare_methods.py:130-142).

@@ -31,6 +31,11 @@ class TrainConfig:
     stratify_by_subdomain: bool = True
     model: str = "attention_unet"  # see models.registry.available_models()
     normalization: str = "dataset"  # "dataset" (reference parity) or "per_sample"
+    # Scale-aware self-normalization: append log(u_std)/log(f_std) input
+    # channels (in_channels=5) so per-sample/per-tile normalization stops
+    # destroying amplitude information. Pair with normalization="per_sample";
+    # at cascade inference use stats_mode="tile".
+    scale_channels: bool = False
     # TPU-native extensions (not in the reference):
     physics_weight: float = 0.0  # weight of the PDE-residual loss (README.md:152)
     coarse_noise_std: float = 0.0  # train-time noise on the coarse input channel

@@ -195,6 +195,7 @@ def prepare_arrays(
     stats: NormStats,
     dtype=jnp.float32,
     per_sample: bool = False,
+    scale_channels: bool = False,
 ):
     """Normalized NHWC tensors + physical fields, device-resident.
 
@@ -202,6 +203,8 @@ def prepare_arrays(
     its own coarse input / forcing / coefficient (see
     :func:`~superresolution_for_pdes_tpu.data.normalization.per_sample_stats`)
     and carries those stats in the arrays for the physics loss.
+    ``scale_channels=True`` appends the log-scale input channels (pair with a
+    ``in_channels=5`` model — the scale-aware self-normalization recipe).
     """
     if per_sample:
         from superresolution_for_pdes_tpu.data.normalization import per_sample_stats
@@ -211,7 +214,8 @@ def prepare_arrays(
         )
     arrays = {
         "x": make_model_inputs(
-            dataset["u_coarse"], dataset["f_fine"], dataset["theta_fine"], stats
+            dataset["u_coarse"], dataset["f_fine"], dataset["theta_fine"], stats,
+            scale_channels=scale_channels,
         ).astype(dtype),
         "y": make_targets(dataset["u_fine"], stats).astype(dtype),
         "theta": dataset["theta_fine"].astype(dtype),
@@ -292,13 +296,17 @@ def train_model(
     # principled choice; cascade inference recomputes scene stats anyway).
     stats = NormStats.from_dataset(train_ds)
     per_sample = config.normalization == "per_sample"
-    train_arrays = prepare_arrays(train_ds, stats, dtype, per_sample=per_sample)
-    val_arrays = prepare_arrays(val_ds, stats, dtype, per_sample=per_sample)
 
     if model is None:
         from superresolution_for_pdes_tpu.models.registry import build_model
 
-        model = build_model(config.model, dtype=dtype)
+        overrides = {"in_channels": 5} if config.scale_channels else {}
+        model = build_model(config.model, dtype=dtype, **overrides)
+    scale_channels = model.in_channels > 3
+    train_arrays = prepare_arrays(train_ds, stats, dtype, per_sample=per_sample,
+                                  scale_channels=scale_channels)
+    val_arrays = prepare_arrays(val_ds, stats, dtype, per_sample=per_sample,
+                                scale_channels=scale_channels)
     model, variables = init_unet(jax.random.key(config.seed), model)
     tx = make_optimizer(config)
     state = TrainState(

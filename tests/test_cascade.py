@@ -99,3 +99,70 @@ def test_interpolation_baselines_match_torch(scene):
         scale_factor=2, mode="bilinear", align_corners=True,
     )[0, 0].numpy()
     np.testing.assert_allclose(stepped, ref_stepped, rtol=1e-8, atol=1e-10)
+
+
+def test_fused_batched_cascade_matches_per_target(scene):
+    """ml_cascade: one program for all scenes/levels; intermediates equal the
+    per-target results; batched scenes equal per-scene runs; scale-aware
+    (5-channel) models get log-scale input channels automatically."""
+    from superresolution_for_pdes_tpu.cascade.multires import solve_multi_resolution_batch
+    from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scenes = solve_multi_resolution_batch(jax.random.key(3), 2, resolutions=(80, 160))
+    outs = ml_cascade(model, variables, scenes, 160, stats_mode="scene")
+    assert outs[80].shape == (2, 80, 80) and outs[160].shape == (2, 160, 160)
+    for i in range(2):
+        single = {
+            fld: {r: scenes[fld][r][i] for r in scenes[fld]}
+            for fld in ("u", "f", "theta")
+        }
+        per_scene = ml_cascade(model, variables, single, 160, stats_mode="scene")
+        np.testing.assert_allclose(
+            np.asarray(outs[160][i]), np.asarray(per_scene[160]), rtol=1e-5, atol=1e-7
+        )
+        # the 80 intermediate equals a cascade targeted at 80
+        np.testing.assert_allclose(
+            np.asarray(outs[80][i]),
+            np.asarray(ml_multi_level_upscale(model, variables, single, 80, stats_mode="scene")),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    # oracle + tile modes on batched scenes
+    for mode in ("oracle", "tile"):
+        o = ml_cascade(model, variables, scenes, 160, stats_mode=mode)
+        assert np.isfinite(np.asarray(o[160])).all()
+
+    # scale-aware model: 5 input channels, per-tile stats
+    model5, variables5 = init_unet(
+        jax.random.key(0),
+        AttentionUNet(in_channels=5, enc_features=(8, 16, 32), bridge_features=64,
+                      head_features=(8, 4)),
+    )
+    o5 = ml_cascade(model5, variables5, scenes, 160, stats_mode="tile")
+    assert np.isfinite(np.asarray(o5[160])).all()
+
+
+def test_scale_channels_inputs():
+    """Scale channels are log(std)/10 constants broadcast over the tile."""
+    from superresolution_for_pdes_tpu.data.normalization import (
+        make_model_inputs,
+        per_sample_stats,
+    )
+
+    rng = np.random.default_rng(0)
+    u = jnp.asarray(rng.standard_normal((3, 20, 20)) * 1e-4)
+    f = jnp.asarray(rng.standard_normal((3, 40, 40)))
+    theta = jnp.ones((3, 40, 40))
+    stats = per_sample_stats(u, f, theta)
+    x = make_model_inputs(u, f, theta, stats, scale_channels=True)
+    assert x.shape == (3, 40, 40, 5)
+    su = np.asarray(stats.u_std)[:, 0, 0]
+    np.testing.assert_allclose(
+        np.asarray(x[..., 3])[:, 0, 0], np.log(su + 1e-30) / 10.0, rtol=1e-5
+    )
+    # constant across the grid (up to f64 rounding in the x64 test mode)
+    assert float(jnp.std(x[..., 3], axis=(1, 2)).max()) < 1e-12

@@ -149,3 +149,28 @@ def test_epoch_batch_indices():
     idx = epoch_batch_indices(jax.random.key(0), 1600, 32)
     assert idx.shape == (50, 32)
     assert len(np.unique(np.asarray(idx))) == 1600
+
+
+def test_cascade_dataset_window_alignment():
+    """Cascade-consistent tiles: the coarse window on the r-grid must be the
+    stride-2 subset of the fine window on the 2r-grid positionally — verified
+    through the forcing field, which is a pure function of grid position."""
+    import jax
+
+    from superresolution_for_pdes_tpu.data.generate import generate_cascade_dataset
+
+    ds = generate_cascade_dataset(jax.random.key(7), 2, tiles_per_level=4, finest=160)
+    # 2 scenes x 4 tiles x 2 levels (40->80, 80->160)
+    assert ds["u_fine"].shape == (16, 40, 40)
+    np.testing.assert_allclose(
+        np.asarray(ds["f_coarse"]), np.asarray(ds["f_fine"])[:, ::2, ::2],
+        rtol=0, atol=0,
+    )
+    # u_coarse is a window of an independent coarse-grid solve: same physical
+    # positions as the fine window's stride subset, but a *different* discrete
+    # solution (that difference is exactly what the model must learn).
+    assert np.isfinite(np.asarray(ds["u_coarse"])).all()
+    diff = np.abs(np.asarray(ds["u_coarse"]) -
+                  np.asarray(ds["u_fine"])[:, ::2, ::2]).max()
+    assert diff > 0  # distinct discretizations
+    assert bool(np.asarray(ds["is_subdomain"]).all())
