@@ -73,3 +73,17 @@ def resolve_model(model_path: str | None, results_dir: str = "results"):
         if cfg.get("scale_channels"):
             overrides["in_channels"] = 5
     return build_model(model_name, **overrides), variables, train_stats
+
+
+def resolve_expert(model_path: str, results_dir: str = "results"):
+    """(model, variables, normalization) for one routed expert — the
+    normalization mode comes from the run's config.json so eval-time input
+    construction matches how the expert was trained."""
+    import json
+
+    model, variables, _ = resolve_model(model_path, results_dir)
+    normalization = "dataset"
+    cfg_path = Path(model_path) / "config.json"
+    if cfg_path.exists():
+        normalization = json.loads(cfg_path.read_text()).get("normalization", "dataset")
+    return model, variables, normalization

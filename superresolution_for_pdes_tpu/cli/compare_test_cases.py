@@ -17,12 +17,32 @@ def main(argv=None) -> None:
         description="in/out-of-sample x const/varying-theta generalization grid"
     )
     parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--expert_const", type=str, default=None,
+                        help="theta==1 expert checkpoint; with --expert_varying, "
+                        "evaluate a theta-regime-routed deployment instead of "
+                        "a single checkpoint (see models.router.RegimeRouter)")
+    parser.add_argument("--expert_varying", type=str, default=None)
     parser.add_argument("--n_samples", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/test_cases")
     args = parser.parse_args(argv)
 
-    model, variables, _ = resolve_model(args.model_path)
+    if (args.expert_const is None) != (args.expert_varying is None):
+        raise SystemExit("--expert_const and --expert_varying must be given together")
+    if args.expert_const is not None:
+        from superresolution_for_pdes_tpu.cli import resolve_expert
+        from superresolution_for_pdes_tpu.models.router import RegimeRouter
+
+        cm, cv, cn = resolve_expert(args.expert_const)
+        vm, vv, vn = resolve_expert(args.expert_varying)
+        model = RegimeRouter(
+            const_model=cm, const_variables=cv,
+            varying_model=vm, varying_variables=vv,
+            const_normalization=cn, varying_normalization=vn,
+        )
+        variables = None
+    else:
+        model, variables, _ = resolve_model(args.model_path)
 
     from superresolution_for_pdes_tpu.eval.test_cases import run_generalization_grid
 

@@ -34,6 +34,16 @@ def main(argv=None) -> None:
     parser.add_argument("--cascade_k", type=float, nargs=2, default=(0.5, 12.0))
     parser.add_argument("--cascade_finest", type=int, default=640)
     parser.add_argument(
+        "--n_selffeed_scenes", type=int, default=0,
+        help="mix in self-feeding cascade tiles (coarse inputs = an existing "
+        "model's own cascade predictions; scheduled-sampling analogue); "
+        "requires --selffeed_model",
+    )
+    parser.add_argument("--selffeed_model", type=str, default=None,
+                        help="checkpoint whose cascade generates the "
+                        "self-feeding coarse inputs")
+    parser.add_argument("--selffeed_k", type=float, nargs=2, default=(0.5, 12.0))
+    parser.add_argument(
         "--plot_samples", type=int, default=20,
         help="plot this many random samples as a visual check (reference "
         "enhanced_data_generation.py:193-244); 0 disables",
@@ -82,6 +92,21 @@ def main(argv=None) -> None:
         )
         print(f"  + {int(cascade['u_fine'].shape[0])} cascade-consistent tiles")
         dataset = combine_datasets(dataset, cascade)
+    if args.n_selffeed_scenes > 0:
+        if args.selffeed_model is None:
+            raise SystemExit("--n_selffeed_scenes requires --selffeed_model")
+        from superresolution_for_pdes_tpu.cli import resolve_model
+        from superresolution_for_pdes_tpu.data.generate import selffeed_cascade_dataset
+
+        sf_model, sf_vars, _ = resolve_model(args.selffeed_model)
+        sk = jax.random.fold_in(key, 7)
+        selffeed = selffeed_cascade_dataset(
+            sf_model, sf_vars, sk, args.n_selffeed_scenes,
+            tiles_per_level=args.cascade_tiles_per_level,
+            k_range=tuple(args.selffeed_k), finest=args.cascade_finest,
+        )
+        print(f"  + {int(selffeed['u_fine'].shape[0])} self-feeding cascade tiles")
+        dataset = combine_datasets(dataset, selffeed)
     path = save_dataset(dataset, args.out)
     print(f"saved {int(dataset['u_fine'].shape[0])} samples -> {path}")
 

@@ -39,7 +39,8 @@ def predict_dataset(
         stats = per_sample_stats(data["u_coarse"], data["f_fine"], data["theta_fine"])
     elif stats is None:
         stats = NormStats.from_dataset(data)
-    x = make_model_inputs(data["u_coarse"], data["f_fine"], data["theta_fine"], stats)
+    x = make_model_inputs(data["u_coarse"], data["f_fine"], data["theta_fine"], stats,
+                          scale_channels=getattr(model, "in_channels", 3) > 3)
     pred = model.apply(variables, x, train=False)
     return stats.denormalize_u(pred[..., 0])
 
@@ -67,7 +68,10 @@ def evaluate_dataset(
     target = data["u_fine"]
     fine_shape = tuple(int(s) for s in target.shape[-2:])
 
-    ml = predict_dataset(model, variables, data, stats, normalization=normalization)
+    if hasattr(model, "predict"):  # a RegimeRouter (or any expert ensemble)
+        ml = model.predict(data, stats)
+    else:
+        ml = predict_dataset(model, variables, data, stats, normalization=normalization)
     bilinear = resize_align_corners(data["u_coarse"], fine_shape, "bilinear")
     bicubic = resize_align_corners(data["u_coarse"], fine_shape, "bicubic")
     if space == "normalized":

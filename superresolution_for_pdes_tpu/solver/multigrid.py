@@ -87,7 +87,7 @@ def _apply_A(B, D, u):
     return t1 + t2
 
 
-def _vcycle(u, b, sizes, levels, A_inv, level, pre, post, omega):
+def _vcycle(u, b, sizes, levels, A_inv, level, pre, post, omega, use_pallas=False):
     B_np, D_np, diagA_np, P_np = levels[level]
     dtype = b.dtype
     B, D = _as_jnp(B_np, dtype), _as_jnp(D_np, dtype)
@@ -97,28 +97,56 @@ def _vcycle(u, b, sizes, levels, A_inv, level, pre, post, omega):
         Ai = _as_jnp(A_inv, dtype)
         flat = b.reshape(b.shape[:-2] + (nC * nC,))
         return jnp.einsum("ij,...j->...i", Ai, flat, precision=_HI).reshape(b.shape)
-    for _ in range(pre):
-        u = u + inv_diag * (b - _apply_A(B, D, u))
-    r = b - _apply_A(B, D, u)
+    # Finest level: B is exactly the -tridiag(1,-2,1)/h^2 stencil and D = I, so
+    # smoothing and the residual are 5-point stencil work where the fused
+    # VMEM-resident Pallas kernels apply; coarser Galerkin operators are dense
+    # and stay on the einsum path.
+    if use_pallas and level == 0:
+        from superresolution_for_pdes_tpu.ops.pallas_stencil import (
+            pallas_jacobi_smooth,
+            pallas_residual,
+        )
+
+        h = 1.0 / (sizes[0] - 1)
+        neg_one = jnp.full_like(u, -1.0)
+        u = pallas_jacobi_smooth(u, b, h=h, omega=omega, iters=pre)
+        r = pallas_residual(neg_one, u, b, h=h)  # b - (-L) u
+    else:
+        for _ in range(pre):
+            u = u + inv_diag * (b - _apply_A(B, D, u))
+        r = b - _apply_A(B, D, u)
     P = _as_jnp(P_np, dtype)
     rc = jnp.einsum("fi,...fg,gj->...ij", P, r, P, precision=_HI)  # P^T r P
     ec = _vcycle(jnp.zeros_like(rc), rc, sizes, levels, A_inv, level + 1, pre, post, omega)
     u = u + jnp.einsum("fi,...ij,gj->...fg", P, ec, P, precision=_HI)  # P ec P^T
-    for _ in range(post):
-        u = u + inv_diag * (b - _apply_A(B, D, u))
+    if use_pallas and level == 0:
+        from superresolution_for_pdes_tpu.ops.pallas_stencil import pallas_jacobi_smooth
+
+        u = pallas_jacobi_smooth(u, b, h=1.0 / (sizes[0] - 1), omega=omega, iters=post)
+    else:
+        for _ in range(post):
+            u = u + inv_diag * (b - _apply_A(B, D, u))
     return u
 
 
-def vcycle(u: jnp.ndarray, b: jnp.ndarray, pre: int = 2, post: int = 2, omega: float = 0.8) -> jnp.ndarray:
-    """One Galerkin V-cycle for ``(-L) u = b`` on the last two axes (batched)."""
+def vcycle(u: jnp.ndarray, b: jnp.ndarray, pre: int = 2, post: int = 2,
+           omega: float = 0.8, use_pallas: bool | None = None) -> jnp.ndarray:
+    """One Galerkin V-cycle for ``(-L) u = b`` on the last two axes (batched).
+
+    ``use_pallas`` swaps the finest-level smoother + residual for the fused
+    VMEM-resident Pallas kernels (default: off; enable per the measured A/B in
+    ``reports/`` — see ``bench_kernels.py``).
+    """
     n = b.shape[-1]
     sizes, levels, A_inv = _hierarchy_np(n)
-    return _vcycle(u, b, sizes, levels, A_inv, 0, pre, post, omega)
+    if use_pallas is None:
+        use_pallas = False
+    return _vcycle(u, b, sizes, levels, A_inv, 0, pre, post, omega, use_pallas)
 
 
-def mg_preconditioner(r: jnp.ndarray) -> jnp.ndarray:
+def mg_preconditioner(r: jnp.ndarray, use_pallas: bool | None = None) -> jnp.ndarray:
     """One zero-initialized V-cycle — usable as a CG preconditioner."""
-    return vcycle(jnp.zeros_like(r), r)
+    return vcycle(jnp.zeros_like(r), r, use_pallas=use_pallas)
 
 
 def solve_poisson_mg(
@@ -127,10 +155,11 @@ def solve_poisson_mg(
     n_cycles: int = 12,
     pre: int = 2,
     post: int = 2,
+    use_pallas: bool | None = None,
 ) -> jnp.ndarray:
     """V-cycle iteration for ``diag(theta) L u = f`` on the last two axes."""
     b = -(f / theta)
     u = jnp.zeros_like(b)
     for _ in range(n_cycles):
-        u = vcycle(u, b, pre=pre, post=post)
+        u = vcycle(u, b, pre=pre, post=post, use_pallas=use_pallas)
     return u

@@ -36,3 +36,36 @@ def test_train_with_registry_model(tmp_path):
     h = train_model(ds, cfg, tmp_path / "r", verbose=False)
     assert np.isfinite(h["train_loss"]).all()
     assert h["model"].__class__.__name__ == "PDEResNet"
+
+
+def test_regime_router_dispatches_by_theta():
+    """RegimeRouter: constant-theta samples go to the const expert, varying
+    samples to the varying expert (verified against direct expert calls)."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_for_pdes_tpu.data.generate import generate_test_dataset
+    from superresolution_for_pdes_tpu.eval.single_level import predict_dataset
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+    from superresolution_for_pdes_tpu.models.router import RegimeRouter
+
+    tiny = dict(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
+    m_const, v_const = init_unet(jax.random.key(0), AttentionUNet(**tiny))
+    m_var, v_var = init_unet(jax.random.key(1), AttentionUNet(**tiny))
+    router = RegimeRouter(m_const, v_const, m_var, v_var)
+
+    d_const = generate_test_dataset(jax.random.key(2), 3, (1.0, 6.0), constant_theta=True)
+    d_var = generate_test_dataset(jax.random.key(3), 3, (1.0, 6.0), constant_theta=False)
+
+    from superresolution_for_pdes_tpu.data.generate import combine_datasets
+
+    data = combine_datasets(d_const, d_var)
+    routed = router.predict(data)
+    direct_const = predict_dataset(m_const, v_const, data)
+    direct_var = predict_dataset(m_var, v_var, data)
+    np.testing.assert_allclose(np.asarray(routed[:3]), np.asarray(direct_const[:3]),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(routed[3:]), np.asarray(direct_var[3:]),
+                               rtol=1e-6)
+    mask = np.asarray(router.regime_mask(data["theta_fine"]))
+    assert mask.tolist() == [True] * 3 + [False] * 3

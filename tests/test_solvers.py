@@ -80,3 +80,40 @@ def test_float32_with_refinement(rng, reference_solve):
     )
     # float32 storage limits absolute accuracy; solutions are O(1e-2).
     assert np.max(np.abs(u32 - ref)) <= 5e-6
+
+
+def test_mgcg_at_scale_640(rng):
+    """Iterative path at the reference's largest problem: 640^2 = 409,600
+    unknowns (the spsolve of ``resolution_comparison.py:61-73``). f64 MGCG vs
+    the exact DST solve; also checks the V-cycle contracts the residual enough
+    that MGCG converges in few iterations (the point of the MG hierarchy)."""
+    n = 640
+    f, theta = _problem(n, rng)
+    fj, tj = jnp.asarray(f), jnp.asarray(theta)
+    exact = np.asarray(solve_poisson_dst(fj, tj))
+
+    from superresolution_for_pdes_tpu.solver.cg import cg_solve
+    from superresolution_for_pdes_tpu.solver.multigrid import mg_preconditioner
+    from superresolution_for_pdes_tpu.ops.stencil import apply_laplacian
+
+    b = -(fj / tj)
+    u, iters = cg_solve(lambda v: -apply_laplacian(v), b, tol=1e-10,
+                        max_iters=60, precond=mg_preconditioner)
+    iters = int(iters)
+    err = np.max(np.abs(np.asarray(u) - exact))
+    assert err <= 1e-6, (err, iters)
+    assert iters <= 40, iters  # MG preconditioning must keep CG iteration-flat
+
+
+def test_vcycle_pallas_smoother_matches_einsum(rng):
+    """The fused Pallas finest-level smoother (interpreter mode on CPU) must
+    reproduce the einsum Jacobi V-cycle bitwise-closely."""
+    from superresolution_for_pdes_tpu.solver.multigrid import vcycle
+
+    n = 40
+    f, theta = _problem(n, rng)
+    b = jnp.asarray(-(f / theta), jnp.float32)
+    u0 = jnp.zeros_like(b)
+    ref = np.asarray(vcycle(u0, b, use_pallas=False))
+    pal = np.asarray(vcycle(u0, b, use_pallas=True))
+    np.testing.assert_allclose(pal, ref, rtol=1e-5, atol=1e-7)
