@@ -72,6 +72,8 @@ def resolve_model(model_path: str | None, results_dir: str = "results"):
         model_name = cfg.get("model", model_name)
         if cfg.get("scale_channels"):
             overrides["in_channels"] = 5
+        if cfg.get("model_norm", "batch") != "batch":
+            overrides["norm"] = cfg["model_norm"]
     return build_model(model_name, **overrides), variables, train_stats
 
 

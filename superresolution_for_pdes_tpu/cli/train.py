@@ -23,6 +23,9 @@ def main(argv=None) -> None:
     parser.add_argument("--normalization", choices=["dataset", "per_sample"],
                         default="dataset",
                         help="dataset-level stats (reference parity) or self-normalization")
+    parser.add_argument("--model_norm", choices=["batch", "group"], default="batch",
+                        help="batch: reference parity; group: no train/eval "
+                        "stats mismatch, DP-reduction-free")
     parser.add_argument("--scale_channels", action="store_true",
                         help="append log-scale input channels (scale-aware "
                         "self-normalization; pair with --normalization per_sample)")
@@ -58,6 +61,7 @@ def main(argv=None) -> None:
         model=args.model,
         normalization=args.normalization,
         scale_channels=args.scale_channels,
+        model_norm=args.model_norm,
         seed=args.seed,
         log_tensorboard=args.tensorboard,
     )

@@ -21,15 +21,17 @@ from superresolution_for_pdes_tpu.models.unet import kaiming_fan_out
 class ResBlock(nn.Module):
     features: int
     dtype: Any = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        from superresolution_for_pdes_tpu.models.unet import make_norm
+
         h = x
         for i in range(2):
             h = nn.Conv(self.features, (3, 3), padding=1, kernel_init=kaiming_fan_out,
                         dtype=self.dtype, name=f"conv{i + 1}")(h)
-            h = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                             dtype=self.dtype, name=f"bn{i + 1}")(h)
+            h = make_norm(self.norm, self.dtype, f"bn{i + 1}", train, self.features)(h)
             if i == 0:
                 h = nn.relu(h)
         return nn.relu(x + h)
@@ -42,6 +44,7 @@ class PDEResNet(nn.Module):
     features: int = 64
     num_blocks: int = 8
     dtype: Any = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -50,6 +53,6 @@ class PDEResNet(nn.Module):
                     dtype=self.dtype, name="stem")(x)
         h = nn.relu(h)
         for i in range(self.num_blocks):
-            h = ResBlock(self.features, self.dtype, name=f"block{i + 1}")(h, train)
+            h = ResBlock(self.features, self.dtype, self.norm, name=f"block{i + 1}")(h, train)
         h = nn.Conv(1, (1, 1), kernel_init=kaiming_fan_out, dtype=self.dtype, name="head")(h)
         return h + coarse

@@ -47,11 +47,29 @@ from superresolution_for_pdes_tpu.ops.resize import resize_align_corners, upsamp
 kaiming_fan_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
 
 
+def make_norm(kind: str, dtype, name: str, train: bool, features: int):
+    """Normalization layer factory: ``"batch"`` replicates the reference's
+    BatchNorm (``models.py:6-24``) with the original parameter paths (so
+    round-1 checkpoints and the torch importer keep working); ``"group"`` is
+    the TPU-build alternative — no train/eval statistics mismatch and no
+    cross-replica reductions under data parallelism (SURVEY.md section 7,
+    hard part d)."""
+    if kind == "batch":
+        return nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                            epsilon=1e-5, dtype=dtype, name=name)
+    if kind == "group":
+        group_size = 8 if features % 8 == 0 else 1
+        return nn.GroupNorm(num_groups=None, group_size=group_size,
+                            epsilon=1e-5, dtype=dtype, name=name)
+    raise ValueError(f"unknown norm kind: {kind!r}")
+
+
 class ConvBlock(nn.Module):
-    """Conv3x3 -> BN -> ReLU, twice (reference ``models.py:6-24``)."""
+    """Conv3x3 -> norm -> ReLU, twice (reference ``models.py:6-24``)."""
 
     features: int
     dtype: Any = jnp.float32
+    norm: str = "batch"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
@@ -60,10 +78,7 @@ class ConvBlock(nn.Module):
                 self.features, (3, 3), padding=1, kernel_init=kaiming_fan_out,
                 dtype=self.dtype, name=f"conv{i + 1}",
             )(x)
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bn{i + 1}",
-            )(x)
+            x = make_norm(self.norm, self.dtype, f"bn{i + 1}", train, self.features)(x)
             x = nn.relu(x)
         return x
 
@@ -118,15 +133,16 @@ class AttentionUNet(nn.Module):
     bridge_features: int = 512
     head_features: Sequence[int] = (32, 16)
     dtype: Any = jnp.float32
+    norm: str = "batch"  # "batch" (reference parity) or "group"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         coarse = x[..., 0:1]  # upsampled coarse solution (residual branch)
 
         f1, f2, f3 = self.enc_features
-        e1 = ConvBlock(f1, self.dtype, name="enc1")(x, train)                    # 40x40
-        e2 = ConvBlock(f2, self.dtype, name="enc2")(nn.max_pool(e1, (2, 2), (2, 2)), train)  # 20x20
-        e3 = ConvBlock(f3, self.dtype, name="enc3")(nn.max_pool(e2, (2, 2), (2, 2)), train)  # 10x10
+        e1 = ConvBlock(f1, self.dtype, self.norm, name="enc1")(x, train)                    # 40x40
+        e2 = ConvBlock(f2, self.dtype, self.norm, name="enc2")(nn.max_pool(e1, (2, 2), (2, 2)), train)  # 20x20
+        e3 = ConvBlock(f3, self.dtype, self.norm, name="enc3")(nn.max_pool(e2, (2, 2), (2, 2)), train)  # 10x10
 
         # Dilated bridge (dilation 2, padding 2)
         b = e3
@@ -135,24 +151,21 @@ class AttentionUNet(nn.Module):
                 self.bridge_features, (3, 3), padding=2, kernel_dilation=(2, 2),
                 kernel_init=kaiming_fan_out, dtype=self.dtype, name=f"bridge_conv{i + 1}",
             )(b)
-            b = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"bridge_bn{i + 1}",
-            )(b)
+            b = make_norm(self.norm, self.dtype, f"bridge_bn{i + 1}", train, self.bridge_features)(b)
             b = nn.relu(b)
 
         # Decoder with attention-gated skips (concat order [gating, skip] as in
         # reference models.py:87-93)
         e3_att = AttentionGate(f3, dtype=self.dtype, name="att3")(e3, b)
-        d3 = ConvBlock(f3, self.dtype, name="dec3")(jnp.concatenate([b, e3_att], -1), train)
+        d3 = ConvBlock(f3, self.dtype, self.norm, name="dec3")(jnp.concatenate([b, e3_att], -1), train)
 
         up3 = _up2x_nhwc(d3)
         e2_att = AttentionGate(f2, dtype=self.dtype, name="att2")(e2, up3)
-        d2 = ConvBlock(f2, self.dtype, name="dec2")(jnp.concatenate([up3, e2_att], -1), train)
+        d2 = ConvBlock(f2, self.dtype, self.norm, name="dec2")(jnp.concatenate([up3, e2_att], -1), train)
 
         up2 = _up2x_nhwc(d2)
         e1_att = AttentionGate(f1, dtype=self.dtype, name="att1")(e1, up2)
-        d1 = ConvBlock(f1, self.dtype, name="dec1")(jnp.concatenate([up2, e1_att], -1), train)
+        d1 = ConvBlock(f1, self.dtype, self.norm, name="dec1")(jnp.concatenate([up2, e1_att], -1), train)
 
         # Multi-scale head 64 -> 32 -> 16 -> 1
         h = d1
@@ -161,10 +174,7 @@ class AttentionUNet(nn.Module):
                 feat, (3, 3), padding=1, kernel_init=kaiming_fan_out,
                 dtype=self.dtype, name=f"out_conv{i + 1}",
             )(h)
-            h = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5,
-                dtype=self.dtype, name=f"out_bn{i + 1}",
-            )(h)
+            h = make_norm(self.norm, self.dtype, f"out_bn{i + 1}", train, feat)(h)
             h = nn.relu(h)
         h = nn.Conv(1, (1, 1), kernel_init=kaiming_fan_out, dtype=self.dtype, name="final")(h)
 
@@ -186,7 +196,11 @@ def init_unet(
         model = AttentionUNet()
     if input_shape is None:
         input_shape = (1, 40, 40, model.in_channels)
-    variables = model.init(rng, jnp.zeros(input_shape, model.dtype), train=False)
+    variables = dict(model.init(rng, jnp.zeros(input_shape, model.dtype), train=False))
+    # Normless models (GroupNorm) have no batch_stats collection; keep the
+    # variables pytree shape uniform so the train loop / checkpoints don't
+    # need per-norm special cases.
+    variables.setdefault("batch_stats", {})
     return model, variables
 
 

@@ -36,6 +36,9 @@ class TrainConfig:
     # destroying amplitude information. Pair with normalization="per_sample";
     # at cascade inference use stats_mode="tile".
     scale_channels: bool = False
+    # Normalization layer: "batch" (reference parity) or "group" (no
+    # train/eval statistics mismatch; no cross-replica reductions under DP).
+    model_norm: str = "batch"
     # TPU-native extensions (not in the reference):
     physics_weight: float = 0.0  # weight of the PDE-residual loss (README.md:152)
     coarse_noise_std: float = 0.0  # train-time noise on the coarse input channel

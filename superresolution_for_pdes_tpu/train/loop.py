@@ -116,7 +116,7 @@ def make_train_fns(
         )
         if train:
             pred, mutated = outputs
-            new_stats = mutated["batch_stats"]
+            new_stats = mutated.get("batch_stats", batch_stats)
         else:
             pred, new_stats = outputs, batch_stats
         mse = jnp.mean((pred - batch["y"]) ** 2)
@@ -301,6 +301,8 @@ def train_model(
         from superresolution_for_pdes_tpu.models.registry import build_model
 
         overrides = {"in_channels": 5} if config.scale_channels else {}
+        if config.model_norm != "batch":
+            overrides["norm"] = config.model_norm
         model = build_model(config.model, dtype=dtype, **overrides)
     scale_channels = model.in_channels > 3
     train_arrays = prepare_arrays(train_ds, stats, dtype, per_sample=per_sample,

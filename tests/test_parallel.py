@@ -66,3 +66,33 @@ def test_online_fused_datagen_step():
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert int(state.step) == 3
+
+
+def test_grid_mesh_2d_scene_tile_sharding():
+    """2-D ('scene', 'tile') mesh: a batched tile tensor shards over both axes
+    and a sharded computation matches the unsharded one."""
+    from superresolution_for_pdes_tpu.parallel import grid_mesh
+
+    mesh = grid_mesh((4, 2), ("scene", "tile"))
+    assert mesh.devices.shape == (4, 2) and mesh.axis_names == ("scene", "tile")
+    sharding = jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("scene", "tile")
+    )
+    x = jnp.arange(8 * 4 * 5 * 5, dtype=jnp.float32).reshape(8, 4, 5, 5)
+    xs = jax.device_put(x, sharding)
+
+    @jax.jit
+    def norms(t):
+        return jnp.sqrt(jnp.sum(t * t, axis=(-2, -1)))
+
+    np.testing.assert_allclose(np.asarray(norms(xs)), np.asarray(norms(x)), rtol=1e-6)
+
+
+def test_multihost_initialize_single_process_fallback():
+    """initialize_multihost degrades to the local runtime in single-process
+    environments and reports the topology."""
+    from superresolution_for_pdes_tpu.parallel import initialize_multihost
+
+    topo = initialize_multihost()
+    assert topo["process_count"] >= 1
+    assert topo["global_devices"] >= topo["local_devices"] >= 1

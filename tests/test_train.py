@@ -95,3 +95,24 @@ def test_physics_loss_training_runs(tmp_path):
     model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
     history = train_model(ds, config, tmp_path / "phys", model=model, verbose=False)
     assert np.isfinite(history["train_loss"]).all()
+
+
+def test_groupnorm_training_and_checkpoint_roundtrip(tmp_path):
+    """GroupNorm variant: trains (no batch_stats collection), checkpoints and
+    restores; restored params reproduce the forward pass."""
+    ds = generate_standard_dataset(jax.random.key(3), 32)
+    config = TrainConfig(
+        batch_size=16, num_epochs=2, stratify_by_subdomain=False,
+        model_norm="group", checkpoint_interval=1,
+    )
+    model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=32,
+                          head_features=(8, 4), norm="group")
+    history = train_model(ds, config, tmp_path / "gn", model=model, verbose=False)
+    assert np.isfinite(history["train_loss"]).all()
+    restored = load_model_variables(tmp_path / "gn", "final_model")
+    x = jnp.zeros((2, 40, 40, 3))
+    state = history["state"]
+    live = model.apply({"params": state.params, "batch_stats": state.batch_stats},
+                       x, train=False)
+    back = model.apply(restored, x, train=False)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(live), rtol=1e-6)
