@@ -52,8 +52,7 @@ def main(argv=None) -> None:
 
     from superresolution_for_pdes_tpu.data.generate import (
         combine_datasets,
-        generate_cascade_dataset,
-        generate_enhanced_dataset,
+        generate_mixed_dataset,
     )
     from superresolution_for_pdes_tpu.data.io import save_dataset
 
@@ -62,36 +61,22 @@ def main(argv=None) -> None:
         f"samples (theta={args.theta})..."
     )
     key = jax.random.key(args.seed)
-    if args.theta == "mixed":
-        k1, k2 = jax.random.split(key)
-        dataset = combine_datasets(
-            generate_enhanced_dataset(
-                k1, args.n_standard, args.n_subdomain,
-                tuple(args.standard_k), tuple(args.subdomain_k), constant_theta=True,
-            ),
-            generate_enhanced_dataset(
-                k2, args.n_standard, args.n_subdomain,
-                tuple(args.standard_k), tuple(args.subdomain_k), constant_theta=False,
-            ),
-        )
-    else:
-        dataset = generate_enhanced_dataset(
-            key,
-            n_standard=args.n_standard,
-            n_subdomain=args.n_subdomain,
-            standard_k_range=tuple(args.standard_k),
-            subdomain_k_range=tuple(args.subdomain_k),
-            constant_theta=args.theta == "constant",
-        )
+    dataset = generate_mixed_dataset(
+        key,
+        n_standard=args.n_standard,
+        n_subdomain=args.n_subdomain,
+        theta=args.theta,
+        standard_k_range=tuple(args.standard_k),
+        subdomain_k_range=tuple(args.subdomain_k),
+        n_cascade_scenes=args.n_cascade_scenes,
+        cascade_tiles_per_level=args.cascade_tiles_per_level,
+        cascade_k_range=tuple(args.cascade_k),
+        cascade_finest=args.cascade_finest,
+    )
     if args.n_cascade_scenes > 0:
-        ck = jax.random.fold_in(key, 99)
-        cascade = generate_cascade_dataset(
-            ck, args.n_cascade_scenes, tiles_per_level=args.cascade_tiles_per_level,
-            k_range=tuple(args.cascade_k), finest=args.cascade_finest,
-            constant_theta=args.theta == "constant",
-        )
-        print(f"  + {int(cascade['u_fine'].shape[0])} cascade-consistent tiles")
-        dataset = combine_datasets(dataset, cascade)
+        n_tiles = args.n_cascade_scenes * args.cascade_tiles_per_level * max(
+            0, (args.cascade_finest // 40).bit_length() - 1)
+        print(f"  + {n_tiles} cascade-consistent tiles")
     if args.n_selffeed_scenes > 0:
         if args.selffeed_model is None:
             raise SystemExit("--n_selffeed_scenes requires --selffeed_model")

@@ -11,6 +11,21 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Train the attention U-Net")
     parser.add_argument("--data", type=str, default="data/pde_dataset.npz")
+    parser.add_argument(
+        "--generate", action="store_true",
+        help="generate the training set on-device instead of loading --data "
+        "(seeded by --gen_seed, so runs are reproducible; avoids the "
+        "host->device transfer of a saved npz, which costs minutes over "
+        "remote-TPU tunnels vs seconds of on-chip solves)",
+    )
+    parser.add_argument("--gen_seed", type=int, default=42)
+    parser.add_argument("--gen_standard", type=int, default=1000)
+    parser.add_argument("--gen_subdomain", type=int, default=1000)
+    parser.add_argument("--gen_theta", choices=["constant", "varying", "mixed"],
+                        default="constant")
+    parser.add_argument("--gen_cascade_scenes", type=int, default=0)
+    parser.add_argument("--gen_tiles_per_level", type=int, default=8)
+    parser.add_argument("--gen_cascade_k", type=float, nargs=2, default=(0.5, 12.0))
     parser.add_argument("--epochs", type=int, default=500)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2e-4)
@@ -71,7 +86,24 @@ def main(argv=None) -> None:
         topo = initialize_multihost()
         print(f"multihost: process {topo['process_index']}/{topo['process_count']}, "
               f"{topo['global_devices']} global devices")
-    dataset = load_dataset(args.data)
+    if args.generate:
+        import jax
+
+        from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
+
+        dataset = generate_mixed_dataset(
+            jax.random.key(args.gen_seed),
+            n_standard=args.gen_standard,
+            n_subdomain=args.gen_subdomain,
+            theta=args.gen_theta,
+            n_cascade_scenes=args.gen_cascade_scenes,
+            cascade_tiles_per_level=args.gen_tiles_per_level,
+            cascade_k_range=tuple(args.gen_cascade_k),
+        )
+        print(f"generated {int(dataset['u_fine'].shape[0])} samples on-device "
+              f"(theta={args.gen_theta}, seed={args.gen_seed})")
+    else:
+        dataset = load_dataset(args.data)
     run_dir = create_run_dir(args.results, args.prefix)
     mesh = data_mesh() if args.data_parallel else None
     history = train_model(dataset, config, run_dir, mesh=mesh, resume_from=args.resume_from)

@@ -244,6 +244,58 @@ def generate_enhanced_dataset(
     return functools.reduce(combine_datasets, parts)
 
 
+def generate_mixed_dataset(
+    key: jax.Array,
+    n_standard: int = 1000,
+    n_subdomain: int = 1000,
+    theta: str = "constant",
+    standard_k_range: Tuple[float, float] = (0.5, 5.0),
+    subdomain_k_range: Tuple[float, float] = (0.5, 12.0),
+    n_cascade_scenes: int = 0,
+    cascade_tiles_per_level: int = 8,
+    cascade_k_range: Tuple[float, float] = (0.5, 12.0),
+    cascade_finest: int = 640,
+    dtype=jnp.float32,
+) -> Dict[str, jnp.ndarray]:
+    """One-call training-set recipe (shared by the generate_data and train
+    CLIs).
+
+    ``theta``: ``"constant"`` = reference parity; ``"varying"`` = pointwise
+    U(0.5, 2); ``"mixed"`` = both strata concatenated. Generating on-device in
+    the *training* process matters operationally: pushing a saved ``.npz``
+    host->device over a remote-TPU tunnel measured ~275 s for a 2000-sample
+    set, while regenerating it on-chip takes ~2 s at 6M solves/sec — so
+    training jobs prefer a (seeded, reproducible) generate step over a load.
+    """
+    if theta == "mixed":
+        k1, k2 = jax.random.split(key)
+        dataset = combine_datasets(
+            generate_enhanced_dataset(
+                k1, n_standard, n_subdomain, standard_k_range, subdomain_k_range,
+                constant_theta=True, dtype=dtype,
+            ),
+            generate_enhanced_dataset(
+                k2, n_standard, n_subdomain, standard_k_range, subdomain_k_range,
+                constant_theta=False, dtype=dtype,
+            ),
+        )
+    elif theta in ("constant", "varying"):
+        dataset = generate_enhanced_dataset(
+            key, n_standard, n_subdomain, standard_k_range, subdomain_k_range,
+            constant_theta=theta == "constant", dtype=dtype,
+        )
+    else:
+        raise ValueError(f"unknown theta mode: {theta!r}")
+    if n_cascade_scenes > 0:
+        cascade = generate_cascade_dataset(
+            jax.random.fold_in(key, 99), n_cascade_scenes,
+            tiles_per_level=cascade_tiles_per_level, k_range=cascade_k_range,
+            finest=cascade_finest, constant_theta=theta == "constant", dtype=dtype,
+        )
+        dataset = combine_datasets(dataset, cascade)
+    return dataset
+
+
 # ---------------------------------------------------------------------------
 # Cascade-consistent training tiles (TPU-build extension)
 # ---------------------------------------------------------------------------

@@ -174,3 +174,17 @@ def test_cascade_dataset_window_alignment():
                   np.asarray(ds["u_fine"])[:, ::2, ::2]).max()
     assert diff > 0  # distinct discretizations
     assert bool(np.asarray(ds["is_subdomain"]).all())
+
+
+def test_generate_mixed_dataset_strata():
+    from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
+
+    ds = generate_mixed_dataset(
+        jax.random.key(0), n_standard=4, n_subdomain=4, theta="mixed",
+        n_cascade_scenes=1, cascade_tiles_per_level=2, cascade_finest=80,
+    )
+    # 2x(4+4) mixed strata + 1 scene x 2 tiles x 1 level
+    assert ds["u_fine"].shape[0] == 18
+    theta_std = np.asarray(jnp.std(ds["theta_fine"], axis=(1, 2)))
+    assert (theta_std[:8] < 1e-6).all()        # constant stratum
+    assert (theta_std[8:16] > 1e-3).all()      # varying stratum
