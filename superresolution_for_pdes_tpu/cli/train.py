@@ -26,6 +26,18 @@ def main(argv=None) -> None:
     parser.add_argument("--gen_cascade_scenes", type=int, default=0)
     parser.add_argument("--gen_tiles_per_level", type=int, default=8)
     parser.add_argument("--gen_cascade_k", type=float, nargs=2, default=(0.5, 12.0))
+    parser.add_argument(
+        "--gen_selffeed_scenes", type=int, default=0,
+        help="mix in self-feeding cascade tiles whose coarse inputs are an "
+        "existing model's own cascade predictions (closes the train/inference "
+        "input mismatch at depth); requires --gen_selffeed_model",
+    )
+    parser.add_argument("--gen_selffeed_model", type=str, default=None)
+    parser.add_argument("--gen_selffeed_k", type=float, nargs=2, default=(8.0, 12.0))
+    parser.add_argument("--gen_selffeed_stats", default="tile",
+                        choices=["oracle", "scene", "train", "tile"],
+                        help="stats mode the self-feeding cascade runs with — "
+                        "match the deployment configuration")
     parser.add_argument("--epochs", type=int, default=500)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2e-4)
@@ -100,6 +112,25 @@ def main(argv=None) -> None:
             cascade_tiles_per_level=args.gen_tiles_per_level,
             cascade_k_range=tuple(args.gen_cascade_k),
         )
+        if args.gen_selffeed_scenes > 0:
+            if args.gen_selffeed_model is None:
+                raise SystemExit("--gen_selffeed_scenes requires --gen_selffeed_model")
+            from superresolution_for_pdes_tpu.cli import resolve_model
+            from superresolution_for_pdes_tpu.data.generate import (
+                combine_datasets,
+                selffeed_cascade_dataset,
+            )
+
+            sf_model, sf_vars, _ = resolve_model(args.gen_selffeed_model)
+            selffeed = selffeed_cascade_dataset(
+                sf_model, sf_vars, jax.random.fold_in(jax.random.key(args.gen_seed), 7),
+                args.gen_selffeed_scenes, tiles_per_level=args.gen_tiles_per_level,
+                k_range=tuple(args.gen_selffeed_k),
+                stats_mode=args.gen_selffeed_stats,
+            )
+            print(f"  + {int(selffeed['u_fine'].shape[0])} self-feeding cascade tiles "
+                  f"(model {args.gen_selffeed_model}, stats {args.gen_selffeed_stats})")
+            dataset = combine_datasets(dataset, selffeed)
         print(f"generated {int(dataset['u_fine'].shape[0])} samples on-device "
               f"(theta={args.gen_theta}, seed={args.gen_seed})")
     else:

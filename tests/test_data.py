@@ -188,3 +188,34 @@ def test_generate_mixed_dataset_strata():
     theta_std = np.asarray(jnp.std(ds["theta_fine"], axis=(1, 2)))
     assert (theta_std[:8] < 1e-6).all()        # constant stratum
     assert (theta_std[8:16] > 1e-3).all()      # varying stratum
+
+
+def test_selffeed_cascade_dataset_uses_model_predictions():
+    from superresolution_for_pdes_tpu.data.generate import (
+        generate_cascade_dataset,
+        selffeed_cascade_dataset,
+    )
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4)),
+    )
+    ds = selffeed_cascade_dataset(
+        model, variables, jax.random.key(5), 2, tiles_per_level=2, finest=160,
+        stats_mode="scene",
+    )
+    # 2 scenes x 2 tiles x 2 levels
+    assert ds["u_fine"].shape == (8, 40, 40)
+    assert np.isfinite(np.asarray(ds["u_coarse"])).all()
+    # the deep-level coarse inputs are model predictions, not exact solves:
+    # regenerate the exact-cascade tiles with the same key and compare
+    exact = generate_cascade_dataset(
+        jax.random.key(5), 2, tiles_per_level=2, finest=160, constant_theta=False,
+    )
+    # identical targets (same scenes, same windows)...
+    np.testing.assert_allclose(
+        np.asarray(ds["u_fine"]), np.asarray(exact["u_fine"]), rtol=0, atol=0
+    )
+    # ...but the second level's inputs differ (prediction vs exact solve)
+    assert np.abs(np.asarray(ds["u_coarse"][4:]) - np.asarray(exact["u_coarse"][4:])).max() > 0
