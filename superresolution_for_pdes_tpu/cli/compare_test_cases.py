@@ -22,6 +22,11 @@ def main(argv=None) -> None:
                         "evaluate a theta-regime-routed deployment instead of "
                         "a single checkpoint (see models.router.RegimeRouter)")
     parser.add_argument("--expert_varying", type=str, default=None)
+    parser.add_argument("--expert_const_highk", type=str, default=None,
+                        help="optional third expert for constant-theta "
+                        "high-wavenumber inputs, routed by the FFT peak of "
+                        "the known forcing field")
+    parser.add_argument("--k_threshold", type=float, default=5.5)
     parser.add_argument("--n_samples", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/test_cases")
@@ -35,10 +40,16 @@ def main(argv=None) -> None:
 
         cm, cv, cn = resolve_expert(args.expert_const)
         vm, vv, vn = resolve_expert(args.expert_varying)
+        extra = {}
+        if args.expert_const_highk is not None:
+            hm, hv, hn = resolve_expert(args.expert_const_highk)
+            extra = dict(const_high_model=hm, const_high_variables=hv,
+                         const_high_normalization=hn, k_threshold=args.k_threshold)
         model = RegimeRouter(
             const_model=cm, const_variables=cv,
             varying_model=vm, varying_variables=vv,
             const_normalization=cn, varying_normalization=vn,
+            **extra,
         )
         variables = None
     else:

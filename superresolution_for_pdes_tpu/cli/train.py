@@ -23,6 +23,8 @@ def main(argv=None) -> None:
     parser.add_argument("--gen_subdomain", type=int, default=1000)
     parser.add_argument("--gen_theta", choices=["constant", "varying", "mixed"],
                         default="constant")
+    parser.add_argument("--gen_standard_k", type=float, nargs=2, default=(0.5, 5.0))
+    parser.add_argument("--gen_subdomain_k", type=float, nargs=2, default=(0.5, 12.0))
     parser.add_argument("--gen_cascade_scenes", type=int, default=0)
     parser.add_argument("--gen_tiles_per_level", type=int, default=8)
     parser.add_argument("--gen_cascade_k", type=float, nargs=2, default=(0.5, 12.0))
@@ -108,6 +110,8 @@ def main(argv=None) -> None:
             n_standard=args.gen_standard,
             n_subdomain=args.gen_subdomain,
             theta=args.gen_theta,
+            standard_k_range=tuple(args.gen_standard_k),
+            subdomain_k_range=tuple(args.gen_subdomain_k),
             n_cascade_scenes=args.gen_cascade_scenes,
             cascade_tiles_per_level=args.gen_tiles_per_level,
             cascade_k_range=tuple(args.gen_cascade_k),

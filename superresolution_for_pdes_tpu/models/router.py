@@ -1,23 +1,53 @@
-"""Theta-regime expert routing (TPU-build extension).
+"""Regime expert routing (TPU-build extension).
 
 The reference trains one model on theta == 1 data and evaluates it on both
 theta regimes (``/root/reference/src/compare_test_cases.py:585-616``); a
 mixed-theta model trades theta-robustness for theta==1 accuracy (round-1
-finding). Deployment answer: two experts routed by the *input* coefficient
-field — the same theta-constant detector the normalization layer already uses
-(``std(theta) < 1e-6``, reference ``models.py:161-165``). The detector sees
-only known inputs (never the fine solution), so routing is an honest
-inference-time decision.
+finding). Deployment answer: experts routed by the *input* fields only —
+
+* **theta regime**: the same theta-constant detector the normalization layer
+  already uses (``std(theta) < 1e-6``, reference ``models.py:161-165``);
+* **wavenumber regime** (optional third expert): the dominant forcing
+  frequency estimated by an FFT peak over the known ``f`` channel — the
+  reference's out-of-sample sets (k in (6, 8), ``compare_test_cases.py:599``)
+  are exactly a high-k shift a single low-k-trained model handles poorly.
+
+Both detectors see only known inputs (never the fine solution), so routing is
+an honest inference-time decision.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional
+from typing import Any, Dict, Optional, Tuple
 
 import jax.numpy as jnp
 
 from superresolution_for_pdes_tpu.data.normalization import THETA_CONSTANT_TOL
+
+
+def estimate_wavenumbers(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(k1, k2) per sample from the dominant 2-D FFT bin of the forcing field.
+
+    The generators build ``f = sin(2 pi k1 x) sin(2 pi k2 y)`` on the unit
+    square (``/root/reference/src/data_generation.py:60-77``), so the
+    magnitude spectrum peaks at bin ``(round(k2), round(k1))`` (row frequency
+    is y). Non-integer k leaks into neighboring bins but the argmax stays
+    within +-1 of the true wavenumber — plenty for regime thresholds. Honest:
+    ``f`` is a known model input.
+    """
+    spec = jnp.abs(jnp.fft.rfft2(f))
+    # zero the DC row/column so constant offsets never win the argmax
+    spec = spec.at[..., 0, :].set(0.0).at[..., :, 0].set(0.0)
+    h = spec.shape[-2]
+    flat = spec.reshape(spec.shape[:-2] + (-1,))
+    idx = jnp.argmax(flat, axis=-1)
+    row = idx // spec.shape[-1]
+    col = idx % spec.shape[-1]
+    # rows above Nyquist alias to negative frequencies
+    k2 = jnp.where(row > h // 2, h - row, row).astype(jnp.float32)
+    k1 = col.astype(jnp.float32)
+    return k1, k2
 
 
 @dataclasses.dataclass
@@ -38,13 +68,29 @@ class RegimeRouter:
     const_normalization: str = "dataset"
     varying_normalization: str = "dataset"
     tol: float = THETA_CONSTANT_TOL
+    # Optional third expert for constant-theta high-wavenumber inputs (the
+    # reference's out-of-sample k regime); routed by estimate_wavenumbers.
+    const_high_model: Any = None
+    const_high_variables: Optional[Dict] = None
+    const_high_normalization: str = "dataset"
+    k_threshold: float = 5.5
 
     def regime_mask(self, theta_fine: jnp.ndarray) -> jnp.ndarray:
         """True where the sample's coefficient field is constant."""
         return jnp.std(theta_fine, axis=(-2, -1)) < self.tol
 
+    def highk_mask(self, f_fine: jnp.ndarray) -> jnp.ndarray:
+        """True where the forcing's dominant wavenumber exceeds the threshold."""
+        k1, k2 = estimate_wavenumbers(f_fine)
+        return jnp.maximum(k1, k2) >= self.k_threshold
+
     def predict(self, data: Dict, stats: Optional[Any] = None) -> jnp.ndarray:
-        """Denormalized per-sample predictions with per-sample expert choice."""
+        """Denormalized per-sample predictions with per-sample expert choice.
+
+        All experts run on the full batch and a per-sample mask selects —
+        static shapes, jit-friendly, and 2-3x the model FLOPs (negligible for
+        40^2 eval batches).
+        """
         from superresolution_for_pdes_tpu.eval.single_level import predict_dataset
 
         pred_const = predict_dataset(
@@ -55,5 +101,12 @@ class RegimeRouter:
             self.varying_model, self.varying_variables, data, stats,
             normalization=self.varying_normalization,
         )
-        mask = self.regime_mask(data["theta_fine"])[..., None, None]
-        return jnp.where(mask, pred_const, pred_var)
+        const = self.regime_mask(data["theta_fine"])[..., None, None]
+        if self.const_high_model is not None:
+            pred_hi = predict_dataset(
+                self.const_high_model, self.const_high_variables, data, stats,
+                normalization=self.const_high_normalization,
+            )
+            hi = self.highk_mask(data["f_fine"])[..., None, None]
+            pred_const = jnp.where(hi, pred_hi, pred_const)
+        return jnp.where(const, pred_const, pred_var)

@@ -69,3 +69,51 @@ def test_regime_router_dispatches_by_theta():
                                rtol=1e-6)
     mask = np.asarray(router.regime_mask(data["theta_fine"]))
     assert mask.tolist() == [True] * 3 + [False] * 3
+
+
+def test_wavenumber_estimation_and_highk_routing():
+    """estimate_wavenumbers recovers (k1, k2) within +-1 bin from the forcing
+    field; the 3-expert router sends constant-theta high-k samples to the
+    high-k expert only."""
+    import jax
+    import jax.numpy as jnp
+
+    from superresolution_for_pdes_tpu.data.generate import (
+        combine_datasets,
+        generate_test_dataset,
+    )
+    from superresolution_for_pdes_tpu.eval.single_level import predict_dataset
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+    from superresolution_for_pdes_tpu.models.router import (
+        RegimeRouter,
+        estimate_wavenumbers,
+    )
+    from superresolution_for_pdes_tpu.ops.grid import forcing_term
+
+    for k1_true, k2_true in ((3.0, 7.0), (6.5, 2.2), (10.4, 10.9)):
+        f = forcing_term(k1_true, k2_true, 40)[None]
+        k1, k2 = estimate_wavenumbers(f)
+        assert abs(float(k1[0]) - k1_true) <= 1.0
+        assert abs(float(k2[0]) - k2_true) <= 1.0
+
+    tiny = dict(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
+    m_lo, v_lo = init_unet(jax.random.key(0), AttentionUNet(**tiny))
+    m_var, v_var = init_unet(jax.random.key(1), AttentionUNet(**tiny))
+    m_hi, v_hi = init_unet(jax.random.key(2), AttentionUNet(**tiny))
+    router = RegimeRouter(
+        m_lo, v_lo, m_var, v_var,
+        const_high_model=m_hi, const_high_variables=v_hi, k_threshold=5.5,
+    )
+
+    d_lo = generate_test_dataset(jax.random.key(3), 2, (1.0, 4.0), constant_theta=True)
+    d_hi = generate_test_dataset(jax.random.key(4), 2, (6.0, 8.0), constant_theta=True)
+    d_var = generate_test_dataset(jax.random.key(5), 2, (6.0, 8.0), constant_theta=False)
+    data = combine_datasets(combine_datasets(d_lo, d_hi), d_var)
+
+    routed = router.predict(data)
+    np.testing.assert_allclose(
+        np.asarray(routed[:2]), np.asarray(predict_dataset(m_lo, v_lo, data)[:2]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(routed[2:4]), np.asarray(predict_dataset(m_hi, v_hi, data)[2:4]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(routed[4:]), np.asarray(predict_dataset(m_var, v_var, data)[4:]), rtol=1e-6)
