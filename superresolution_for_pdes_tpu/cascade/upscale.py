@@ -63,6 +63,30 @@ def upscale_tile_batch(
     return stats.denormalize_u(pred[..., 0])
 
 
+def _dihedral_apply(model, variables, x: jnp.ndarray) -> jnp.ndarray:
+    """Average the model over the 8-element dihedral group (honest test-time
+    ensembling).
+
+    The continuous problem is invariant under the square's symmetries (the
+    Laplacian is isotropic, ``theta``/``f`` transform with the grid) and so is
+    the reference discretization (the truncated 5-point stencil commutes with
+    rotations/flips of the vertex grid, ``data_generation.py:35-58``) — so for
+    any grid symmetry ``g``, ``g^-1(model(g(x)))`` is an equally valid
+    prediction and the orbit average cancels the model's non-equivariant error
+    component. Pure test-time: no retraining, no ground-truth access; costs 8
+    model applications (the tile batch is simply 8x larger on the MXU).
+    """
+    preds = []
+    for flip in (False, True):
+        xf = jnp.flip(x, axis=-3) if flip else x
+        for k in range(4):
+            xr = jnp.rot90(xf, k=k, axes=(-3, -2))
+            p = model.apply(variables, xr, train=False)
+            p = jnp.rot90(p, k=-k, axes=(-3, -2))
+            preds.append(jnp.flip(p, axis=-3) if flip else p)
+    return sum(preds) / len(preds)
+
+
 def _level_body(
     model,
     variables: Dict,
@@ -74,6 +98,7 @@ def _level_body(
     overlap: bool,
     tile_sharding,
     stats_kind: str,
+    symmetrize: bool = False,
 ) -> jnp.ndarray:
     """One cascade level — stats, tiling, normalization, model forward,
     denormalization and stitching — as straight-line traced code (callers jit)."""
@@ -98,7 +123,10 @@ def _level_body(
                               scale_channels=model.in_channels > 3)
         if tile_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, tile_sharding)
-        pred = model.apply(variables, x, train=False)
+        if symmetrize:
+            pred = _dihedral_apply(model, variables, x)
+        else:
+            pred = model.apply(variables, x, train=False)
         return stats.denormalize_u(pred[..., 0])
 
     if overlap:
@@ -119,7 +147,8 @@ def _level_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind"),
+    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind",
+                     "symmetrize"),
 )
 def _fused_level(
     model,
@@ -132,6 +161,7 @@ def _fused_level(
     overlap: bool,
     tile_sharding,
     stats_kind: str,
+    symmetrize: bool = False,
 ) -> jnp.ndarray:
     """One whole cascade level as a single XLA program.
 
@@ -140,7 +170,8 @@ def _fused_level(
     into one program cuts most of the cascade's wall-clock.
     """
     return _level_body(model, variables, current, f_next, theta_next,
-                       stats_source, coarse_tile, overlap, tile_sharding, stats_kind)
+                       stats_source, coarse_tile, overlap, tile_sharding, stats_kind,
+                       symmetrize)
 
 
 def _stats_source_kind(stats_mode: str, truth, current, train_stats):
@@ -157,6 +188,7 @@ def _stats_source_kind(stats_mode: str, truth, current, train_stats):
     jax.jit,
     static_argnames=(
         "model", "resolutions", "coarse_tile", "overlap", "tile_sharding", "stats_mode",
+        "symmetrize",
     ),
 )
 def _cascade_program(
@@ -172,6 +204,7 @@ def _cascade_program(
     overlap: bool,
     tile_sharding,
     stats_mode: str,
+    symmetrize: bool = False,
 ):
     """The ENTIRE cascade (all levels, all scenes) as one XLA program.
 
@@ -193,6 +226,7 @@ def _cascade_program(
                 model, variables, current, fs[i], thetas[i], stats_source,
                 coarse_tile=coarse_tile, overlap=overlap,
                 tile_sharding=tile_sharding, stats_kind=kind,
+                symmetrize=symmetrize,
             )
             outs.append(current)
         return tuple(outs)
@@ -214,6 +248,7 @@ def ml_cascade(
     start_resolution: int = 40,
     coarse_tile: int = 20,
     overlap: bool = False,
+    symmetrize: bool = False,
 ) -> Dict[int, jnp.ndarray]:
     """Fused multi-scene cascade: ONE device program for all levels (and all
     scenes when the ``data`` fields carry a leading batch axis), returning the
@@ -244,7 +279,7 @@ def ml_cascade(
     outs = _cascade_program(
         model, variables, data["u"][start_resolution], f_levels, theta_levels,
         u_truths, train_stats, resolutions, coarse_tile, overlap,
-        tile_sharding, stats_mode,
+        tile_sharding, stats_mode, symmetrize,
     )
     return dict(zip(resolutions, outs))
 
@@ -260,6 +295,7 @@ def ml_multi_level_upscale(
     start_resolution: int = 40,
     coarse_tile: int = 20,
     overlap: bool = False,
+    symmetrize: bool = False,
 ) -> jnp.ndarray:
     """Cascade from ``start_resolution`` to ``target_resolution``.
 
@@ -282,7 +318,7 @@ def ml_multi_level_upscale(
         model, variables, data, target_resolution, stats_mode=stats_mode,
         train_stats=train_stats, tile_sharding=tile_sharding,
         start_resolution=start_resolution, coarse_tile=coarse_tile,
-        overlap=overlap,
+        overlap=overlap, symmetrize=symmetrize,
     )
     return outs[target_resolution]
 

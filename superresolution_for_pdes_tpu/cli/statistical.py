@@ -21,6 +21,9 @@ def main(argv=None) -> None:
     parser.add_argument("--stats_mode", choices=["oracle", "scene", "train", "tile"], default="oracle")
     parser.add_argument("--overlap", action="store_true",
                         help="half-tile-overlapping windows with feathered blending")
+    parser.add_argument("--symmetrize", action="store_true",
+                        help="average the model over the 8 square symmetries "
+                        "(honest test-time ensembling; 8x model FLOPs)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
@@ -35,7 +38,7 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         n_examples=args.n_examples, resolutions=tuple(args.resolutions),
         k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
-        train_stats=train_stats, overlap=args.overlap,
+        train_stats=train_stats, overlap=args.overlap, symmetrize=args.symmetrize,
     )
     for res, a in result["aggregate"].items():
         print(

@@ -83,6 +83,7 @@ def run_statistical_benchmark(
     save_dir: Optional[Path] = None,
     train_stats=None,
     overlap: bool = False,
+    symmetrize: bool = False,
 ) -> Dict:
     resolutions = tuple(resolutions)
     scenes = solve_multi_resolution_batch(
@@ -97,15 +98,18 @@ def run_statistical_benchmark(
     ml_times: Dict[int, float] = {}
     for res in resolutions:
         out = ml_cascade(model, variables, scenes, res, stats_mode=stats_mode,
-                         train_stats=train_stats, overlap=overlap)
+                         train_stats=train_stats, overlap=overlap,
+                         symmetrize=symmetrize)
         float(jnp.sum(out[res]))  # warm/compile
         t0 = time.perf_counter()
         out = ml_cascade(model, variables, scenes, res, stats_mode=stats_mode,
-                         train_stats=train_stats, overlap=overlap)
+                         train_stats=train_stats, overlap=overlap,
+                         symmetrize=symmetrize)
         float(jnp.sum(out[res]))
         ml_times[res] = (time.perf_counter() - t0) / n_examples
     ml_fields = ml_cascade(model, variables, scenes, top, stats_mode=stats_mode,
-                           train_stats=train_stats, overlap=overlap)
+                           train_stats=train_stats, overlap=overlap,
+                         symmetrize=symmetrize)
 
     bl_fields: Dict[int, jnp.ndarray] = {}
     bl_times: Dict[int, float] = {}

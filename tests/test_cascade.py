@@ -166,3 +166,31 @@ def test_scale_channels_inputs():
     )
     # constant across the grid (up to f64 rounding in the x64 test mode)
     assert float(jnp.std(x[..., 3], axis=(1, 2)).max()) < 1e-12
+
+
+def test_dihedral_symmetrize_preserves_symmetry(scene):
+    """Symmetrized cascade output of a 90-degree-rotated scene equals the
+    rotated output of the original scene (the orbit average is equivariant
+    by construction)."""
+    from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene32 = {
+        fld: {r: jnp.asarray(v, jnp.float32) for r, v in scene[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    out = ml_cascade(model, variables, scene32, 80, stats_mode="tile", symmetrize=True)[80]
+    rotated = {
+        fld: {r: jnp.rot90(v) for r, v in scene32[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    out_rot = ml_cascade(model, variables, rotated, 80, stats_mode="tile", symmetrize=True)[80]
+    np.testing.assert_allclose(
+        np.asarray(out_rot), np.asarray(jnp.rot90(out)), rtol=1e-4, atol=1e-7
+    )
+    # and differs from the single-orientation prediction
+    plain = ml_cascade(model, variables, scene32, 80, stats_mode="tile")[80]
+    assert np.abs(np.asarray(plain) - np.asarray(out)).max() > 0
