@@ -40,6 +40,12 @@ def main(argv=None) -> None:
                         choices=["oracle", "scene", "train", "tile"],
                         help="stats mode the self-feeding cascade runs with — "
                         "match the deployment configuration")
+    parser.add_argument(
+        "--gen_stream", action="store_true",
+        help="regenerate the training split on-device with a fresh key every "
+        "epoch (the model never sees a sample twice — overfitting-free; "
+        "requires --generate; validation stays on a fixed held-out set)",
+    )
     parser.add_argument("--epochs", type=int, default=500)
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--lr", type=float, default=2e-4)
@@ -138,10 +144,35 @@ def main(argv=None) -> None:
         print(f"generated {int(dataset['u_fine'].shape[0])} samples on-device "
               f"(theta={args.gen_theta}, seed={args.gen_seed})")
     else:
+        if args.gen_stream:
+            raise SystemExit("--gen_stream requires --generate")
         dataset = load_dataset(args.data)
+
+    dataset_generator = None
+    if args.gen_stream:
+        if args.gen_selffeed_scenes > 0:
+            raise SystemExit("--gen_stream does not compose with selffeed tiles")
+        import jax
+
+        from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
+
+        def dataset_generator(key):
+            return generate_mixed_dataset(
+                key,
+                n_standard=args.gen_standard,
+                n_subdomain=args.gen_subdomain,
+                theta=args.gen_theta,
+                standard_k_range=tuple(args.gen_standard_k),
+                subdomain_k_range=tuple(args.gen_subdomain_k),
+                n_cascade_scenes=args.gen_cascade_scenes,
+                cascade_tiles_per_level=args.gen_tiles_per_level,
+                cascade_k_range=tuple(args.gen_cascade_k),
+            )
+
     run_dir = create_run_dir(args.results, args.prefix)
     mesh = data_mesh() if args.data_parallel else None
-    history = train_model(dataset, config, run_dir, mesh=mesh, resume_from=args.resume_from)
+    history = train_model(dataset, config, run_dir, mesh=mesh, resume_from=args.resume_from,
+                          dataset_generator=dataset_generator)
     print(
         f"best val loss {history['best_val_loss']:.6f} at epoch "
         f"{history['best_epoch'] + 1} ({history['num_epochs']} epochs); run dir {run_dir}"

@@ -255,6 +255,7 @@ def train_model(
     model: Optional[AttentionUNet] = None,
     verbose: bool = True,
     resume_from: Optional[str] = None,
+    dataset_generator: Optional[Callable[[jax.Array], Dict[str, jnp.ndarray]]] = None,
 ) -> Dict[str, Any]:
     """Full training job: split -> normalize -> epochs -> checkpoints.
 
@@ -267,6 +268,17 @@ def train_model(
     optimizer, scheduler/early-stop counters, epoch) from a checkpoint
     directory and continues — the resume path the reference never had
     (SURVEY.md section 5, checkpoint/resume).
+
+    ``dataset_generator`` (TPU-build extension; north-star "fused datagen"
+    configuration): when given, the *training split* is regenerated on-device
+    with a fresh key at the start of every epoch — the model never sees a
+    sample twice, eliminating overfitting entirely. The generator must return
+    a fixed-size dataset dict (same shapes every call, so the compiled epoch
+    program is reused). Validation stays on the fixed split of ``dataset`` so
+    early stopping and the plateau scheduler see a stationary metric.
+    Normalization stats also stay frozen from the initial dataset (matching
+    how a pre-generated dataset behaves); with ``normalization='per_sample'``
+    they are per-sample anyway.
     """
     from pathlib import Path
 
@@ -377,8 +389,18 @@ def train_model(
     best_snapshot = None
     last_ckpt_epoch = -(10**9)
 
+    stream_key = jax.random.key(config.seed + 2)
     for epoch in range(start_epoch, config.num_epochs):
         shuffle_key, epoch_key = jax.random.split(shuffle_key)
+        if dataset_generator is not None:
+            fresh = dataset_generator(jax.random.fold_in(stream_key, epoch))
+            train_arrays = prepare_arrays(
+                fresh, stats, dtype, per_sample=per_sample,
+                scale_channels=scale_channels,
+            )
+            if mesh is not None:
+                train_arrays = jax.device_put(train_arrays, replicate)
+            n_train = int(fresh["u_fine"].shape[0])
         idx_matrix = epoch_batch_indices(epoch_key, n_train, config.batch_size)
         noise_key = (
             jax.random.fold_in(epoch_key, 1) if config.coarse_noise_std > 0.0 else None

@@ -116,3 +116,26 @@ def test_groupnorm_training_and_checkpoint_roundtrip(tmp_path):
                        x, train=False)
     back = model.apply(restored, x, train=False)
     np.testing.assert_allclose(np.asarray(back), np.asarray(live), rtol=1e-6)
+
+
+def test_streaming_dataset_generator(tmp_path):
+    """dataset_generator: fresh training data every epoch (fixed shapes),
+    validation on the fixed split; trains and records finite losses."""
+    from superresolution_for_pdes_tpu.data.generate import generate_standard_dataset as gen
+
+    ds = gen(jax.random.key(0), 32)
+    seen = []
+
+    def generator(key):
+        seen.append(key)
+        return gen(key, 32)
+
+    config = TrainConfig(batch_size=8, num_epochs=3, stratify_by_subdomain=False,
+                         checkpoint_every_best=False)
+    model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=32,
+                          head_features=(4, 4))
+    history = train_model(ds, config, tmp_path / "stream", model=model,
+                          verbose=False, dataset_generator=generator)
+    assert len(seen) == 3  # one fresh dataset per epoch
+    assert len({tuple(np.asarray(jax.random.key_data(k)).tolist()) for k in seen}) == 3
+    assert np.isfinite(history["train_loss"]).all()
