@@ -68,6 +68,11 @@ def main(argv=None) -> None:
                         help="join the multi-host JAX runtime "
                         "(jax.distributed.initialize) before building the mesh")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--early_stopping_patience", type=int, default=20,
+                        help="epochs without val improvement before stopping "
+                        "(published config: 20; streaming runs benefit from "
+                        "more since every epoch sees fresh data)")
+    parser.add_argument("--plateau_patience", type=int, default=10)
     parser.add_argument("--results", type=str, default="results")
     parser.add_argument("--prefix", type=str, default="enhanced_")
     parser.add_argument("--tensorboard", action="store_true")
@@ -98,6 +103,8 @@ def main(argv=None) -> None:
         scale_channels=args.scale_channels,
         model_norm=args.model_norm,
         seed=args.seed,
+        early_stopping_patience=args.early_stopping_patience,
+        plateau_patience=args.plateau_patience,
         log_tensorboard=args.tensorboard,
     )
     if args.multihost:
