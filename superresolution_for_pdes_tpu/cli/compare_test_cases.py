@@ -27,6 +27,9 @@ def main(argv=None) -> None:
                         "high-wavenumber inputs, routed by the FFT peak of "
                         "the known forcing field")
     parser.add_argument("--k_threshold", type=float, default=5.5)
+    parser.add_argument("--symmetrize", action="store_true",
+                        help="average each expert over the 8 square symmetries "
+                        "(honest test-time ensembling)")
     parser.add_argument("--n_samples", type=int, default=10)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/test_cases")
@@ -59,7 +62,7 @@ def main(argv=None) -> None:
 
     results = run_generalization_grid(
         model, variables, jax.random.key(args.seed),
-        n_samples=args.n_samples, save_dir=args.out,
+        n_samples=args.n_samples, save_dir=args.out, symmetrize=args.symmetrize,
     )
     for label, result in results.items():
         s = result["summary"]

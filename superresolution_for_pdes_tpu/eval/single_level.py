@@ -26,12 +26,15 @@ from superresolution_for_pdes_tpu.ops.resize import resize_align_corners
 def predict_dataset(
     model, variables, data: Dict, stats: Optional[NormStats] = None,
     normalization: str = "dataset",
+    symmetrize: bool = False,
 ) -> jnp.ndarray:
     """Denormalized ML predictions for every sample of a dataset dict.
 
     ``normalization="per_sample"`` self-normalizes each sample from its own
     coarse input / forcing / coefficient (for models trained with
-    ``TrainConfig.normalization='per_sample'``).
+    ``TrainConfig.normalization='per_sample'``). ``symmetrize`` averages the
+    model over the square's 8 symmetries (honest test-time ensembling; see
+    ``cascade.upscale._dihedral_apply``).
     """
     if normalization == "per_sample":
         from superresolution_for_pdes_tpu.data.normalization import per_sample_stats
@@ -41,7 +44,12 @@ def predict_dataset(
         stats = NormStats.from_dataset(data)
     x = make_model_inputs(data["u_coarse"], data["f_fine"], data["theta_fine"], stats,
                           scale_channels=getattr(model, "in_channels", 3) > 3)
-    pred = model.apply(variables, x, train=False)
+    if symmetrize:
+        from superresolution_for_pdes_tpu.cascade.upscale import _dihedral_apply
+
+        pred = _dihedral_apply(model, variables, x)
+    else:
+        pred = model.apply(variables, x, train=False)
     return stats.denormalize_u(pred[..., 0])
 
 
@@ -55,6 +63,7 @@ def evaluate_dataset(
     n_plot: int = 3,
     space: str = "physical",
     normalization: str = "dataset",
+    symmetrize: bool = False,
 ) -> Dict:
     """Per-sample + summary metrics for ML vs bilinear vs bicubic at 40^2.
 
@@ -69,9 +78,10 @@ def evaluate_dataset(
     fine_shape = tuple(int(s) for s in target.shape[-2:])
 
     if hasattr(model, "predict"):  # a RegimeRouter (or any expert ensemble)
-        ml = model.predict(data, stats)
+        ml = model.predict(data, stats, symmetrize=symmetrize)
     else:
-        ml = predict_dataset(model, variables, data, stats, normalization=normalization)
+        ml = predict_dataset(model, variables, data, stats,
+                             normalization=normalization, symmetrize=symmetrize)
     bilinear = resize_align_corners(data["u_coarse"], fine_shape, "bilinear")
     bicubic = resize_align_corners(data["u_coarse"], fine_shape, "bicubic")
     if space == "normalized":

@@ -38,13 +38,15 @@ def run_generalization_grid(
     n_samples: int = 10,
     save_dir: Optional[Path] = None,
     n_plot: int = 2,
+    symmetrize: bool = False,
 ) -> Dict[str, Dict]:
     results: Dict[str, Dict] = {}
     for label, k_range, const_theta in GRID:
         key, sub = jax.random.split(key)
         data = generate_test_dataset(sub, n_samples, k_range, constant_theta=const_theta)
         results[label] = evaluate_dataset(
-            model, variables, data, label=label, save_dir=save_dir, n_plot=n_plot
+            model, variables, data, label=label, save_dir=save_dir, n_plot=n_plot,
+            symmetrize=symmetrize,
         )
 
     if save_dir is not None:

@@ -84,7 +84,8 @@ class RegimeRouter:
         k1, k2 = estimate_wavenumbers(f_fine)
         return jnp.maximum(k1, k2) >= self.k_threshold
 
-    def predict(self, data: Dict, stats: Optional[Any] = None) -> jnp.ndarray:
+    def predict(self, data: Dict, stats: Optional[Any] = None,
+                symmetrize: bool = False) -> jnp.ndarray:
         """Denormalized per-sample predictions with per-sample expert choice.
 
         All experts run on the full batch and a per-sample mask selects —
@@ -95,17 +96,17 @@ class RegimeRouter:
 
         pred_const = predict_dataset(
             self.const_model, self.const_variables, data, stats,
-            normalization=self.const_normalization,
+            normalization=self.const_normalization, symmetrize=symmetrize,
         )
         pred_var = predict_dataset(
             self.varying_model, self.varying_variables, data, stats,
-            normalization=self.varying_normalization,
+            normalization=self.varying_normalization, symmetrize=symmetrize,
         )
         const = self.regime_mask(data["theta_fine"])[..., None, None]
         if self.const_high_model is not None:
             pred_hi = predict_dataset(
                 self.const_high_model, self.const_high_variables, data, stats,
-                normalization=self.const_high_normalization,
+                normalization=self.const_high_normalization, symmetrize=symmetrize,
             )
             hi = self.highk_mask(data["f_fine"])[..., None, None]
             pred_const = jnp.where(hi, pred_hi, pred_const)

@@ -47,3 +47,20 @@ def test_normalized_vs_physical_space(tiny):
     assert ratio == pytest.approx(float(stats.u_std), rel=1e-4)
     with pytest.raises(ValueError, match="metric space"):
         evaluate_dataset(model, variables, ds, space="log")
+
+
+def test_single_level_symmetrize_option(tiny):
+    """evaluate_dataset(symmetrize=True): finite, differs from the plain pass.
+
+    Note (round-2 finding): symmetrization HELPS the cascade (phase-rich tile
+    windows) but can hurt standard-sample evals, whose forcing sines are
+    phase-locked at zero — flips map them off the training manifold. It is
+    therefore an option, not a default, on the single-level path."""
+    model, variables = tiny
+    ds = generate_test_dataset(jax.random.key(4), 3, (1.0, 5.0))
+    plain = evaluate_dataset(model, variables, ds)
+    sym = evaluate_dataset(model, variables, ds, symmetrize=True)
+    assert np.isfinite(sym["summary"]["ml"]["mae"])
+    assert sym["summary"]["ml"]["mae"] != plain["summary"]["ml"]["mae"]
+    # baselines are model-free and unchanged
+    assert sym["summary"]["bilinear"]["mae"] == plain["summary"]["bilinear"]["mae"]
