@@ -222,8 +222,15 @@ def _cascade_program(
         for i in range(len(resolutions)):
             truth = u_truths[i] if u_truths is not None else None
             stats_source, kind = _stats_source_kind(stats_mode, truth, current, train_stats)
+            # per-level experts: ``variables`` may be a tuple with one
+            # variables pytree per level (same architecture), e.g. a
+            # level-1 specialist for the hardest 40->80 step.
+            level_vars = (
+                variables[min(i, len(variables) - 1)]
+                if isinstance(variables, (list, tuple)) else variables
+            )
             current = _level_body(
-                model, variables, current, fs[i], thetas[i], stats_source,
+                model, level_vars, current, fs[i], thetas[i], stats_source,
                 coarse_tile=coarse_tile, overlap=overlap,
                 tile_sharding=tile_sharding, stats_kind=kind,
                 symmetrize=symmetrize,

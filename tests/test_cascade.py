@@ -194,3 +194,22 @@ def test_dihedral_symmetrize_preserves_symmetry(scene):
     # and differs from the single-orientation prediction
     plain = ml_cascade(model, variables, scene32, 80, stats_mode="tile")[80]
     assert np.abs(np.asarray(plain) - np.asarray(out)).max() > 0
+
+
+def test_per_level_expert_variables(scene):
+    """ml_cascade accepts a tuple of per-level variables (level specialists);
+    level 1 with expert A + level 2 with expert B differs from all-A and the
+    first level matches all-A exactly."""
+    from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
+
+    arch = dict(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4))
+    model, va = init_unet(jax.random.key(0), AttentionUNet(**arch))
+    _, vb = init_unet(jax.random.key(1), AttentionUNet(**arch))
+    scene32 = {
+        fld: {r: jnp.asarray(v, jnp.float32) for r, v in scene[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    all_a = ml_cascade(model, va, scene32, 160, stats_mode="tile")
+    mixed = ml_cascade(model, (va, vb), scene32, 160, stats_mode="tile")
+    np.testing.assert_allclose(np.asarray(mixed[80]), np.asarray(all_a[80]), rtol=1e-6)
+    assert np.abs(np.asarray(mixed[160]) - np.asarray(all_a[160])).max() > 0
