@@ -15,6 +15,10 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="N-example statistical benchmark with timings")
     parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--model_path_level1", type=str, default=None,
+                        help="optional level-1 specialist checkpoint (same "
+                        "architecture): used for the 40->80 step, with "
+                        "--model_path serving the deeper levels")
     parser.add_argument("--n_examples", type=int, default=10)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
     parser.add_argument("--k", type=float, nargs=2, default=(8.0, 12.0))
@@ -29,6 +33,9 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     model, variables, train_stats = resolve_model(args.model_path)
+    if args.model_path_level1 is not None:
+        _, l1_variables, _ = resolve_model(args.model_path_level1)
+        variables = (l1_variables, variables)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
 

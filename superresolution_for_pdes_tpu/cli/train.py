@@ -28,6 +28,10 @@ def main(argv=None) -> None:
     parser.add_argument("--gen_cascade_scenes", type=int, default=0)
     parser.add_argument("--gen_tiles_per_level", type=int, default=8)
     parser.add_argument("--gen_cascade_k", type=float, nargs=2, default=(0.5, 12.0))
+    parser.add_argument("--gen_cascade_finest", type=int, default=640,
+                        help="finest cascade resolution for generated tiles; "
+                        "80 restricts to level-1 (40->80) pairs — the "
+                        "level-specialist recipe")
     parser.add_argument(
         "--gen_selffeed_scenes", type=int, default=0,
         help="mix in self-feeding cascade tiles whose coarse inputs are an "
@@ -128,6 +132,7 @@ def main(argv=None) -> None:
             n_cascade_scenes=args.gen_cascade_scenes,
             cascade_tiles_per_level=args.gen_tiles_per_level,
             cascade_k_range=tuple(args.gen_cascade_k),
+            cascade_finest=args.gen_cascade_finest,
         )
         if args.gen_selffeed_scenes > 0:
             if args.gen_selffeed_model is None:
@@ -174,6 +179,7 @@ def main(argv=None) -> None:
                 n_cascade_scenes=args.gen_cascade_scenes,
                 cascade_tiles_per_level=args.gen_tiles_per_level,
                 cascade_k_range=tuple(args.gen_cascade_k),
+                cascade_finest=args.gen_cascade_finest,
             )
 
     run_dir = create_run_dir(args.results, args.prefix)
