@@ -40,7 +40,7 @@ TPU-build extensions (not in the reference):
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,6 @@ from pathlib import Path
 from typing import Any, Dict
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 

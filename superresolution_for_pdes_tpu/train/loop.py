@@ -22,8 +22,6 @@ TPU-first execution model:
 """
 
 from __future__ import annotations
-
-import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
