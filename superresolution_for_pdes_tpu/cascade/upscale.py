@@ -24,6 +24,7 @@ level jit-compiles once and is reused across scenes.
 from __future__ import annotations
 
 import functools
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -73,18 +74,47 @@ def _dihedral_apply(model, variables, x: jnp.ndarray) -> jnp.ndarray:
     rotations/flips of the vertex grid, ``data_generation.py:35-58``) — so for
     any grid symmetry ``g``, ``g^-1(model(g(x)))`` is an equally valid
     prediction and the orbit average cancels the model's non-equivariant error
-    component. Pure test-time: no retraining, no ground-truth access; costs 8
-    model applications (the tile batch is simply 8x larger on the MXU).
+    component. Pure test-time: no retraining, no ground-truth access.
+
+    The whole orbit runs as ONE model application over an 8x-larger tile batch
+    (concatenated on the leading axis) — on the MXU a single large batch is
+    far cheaper than 8 sequential applies, and eval-mode BatchNorm uses fixed
+    running stats so the fold is bit-equivalent to the sequential loop.
     """
-    preds = []
+    xs = []
     for flip in (False, True):
         xf = jnp.flip(x, axis=-3) if flip else x
         for k in range(4):
-            xr = jnp.rot90(xf, k=k, axes=(-3, -2))
-            p = model.apply(variables, xr, train=False)
-            p = jnp.rot90(p, k=-k, axes=(-3, -2))
-            preds.append(jnp.flip(p, axis=-3) if flip else p)
-    return sum(preds) / len(preds)
+            xs.append(jnp.rot90(xf, k=k, axes=(-3, -2)))
+    preds = model.apply(variables, jnp.concatenate(xs, axis=0), train=False)
+    preds = jnp.split(preds, 8, axis=0)
+    out = []
+    for i, flip in enumerate((False, True)):
+        for k in range(4):
+            p = jnp.rot90(preds[4 * i + k], k=-k, axes=(-3, -2))
+            out.append(jnp.flip(p, axis=-3) if flip else p)
+    return sum(out) / len(out)
+
+
+def _refine(u: jnp.ndarray, f: jnp.ndarray, theta: jnp.ndarray,
+            cycles: int) -> jnp.ndarray:
+    """Physics refinement: ``cycles`` Galerkin V-cycles of the KNOWN PDE
+    ``diag(theta) L u = f`` (reference operator, ``data_generation.py:99``)
+    with the ML prediction as the initial iterate.
+
+    Honest by construction — f and theta are the cascade's inputs at every
+    level and no ground-truth field is touched; the ML cascade supplies a
+    high-quality initial guess so a couple of O(N) cycles recover most of the
+    remaining field energy (the train-time physics loss penalizes the same
+    residual; this applies it at inference). This is the ML-preconditioned
+    multigrid hybrid the TPU build adds over the reference's pure-ML cascade.
+    """
+    from superresolution_for_pdes_tpu.solver.multigrid import vcycle
+
+    b = -(f / theta)
+    for _ in range(cycles):
+        u = vcycle(u, b)
+    return u
 
 
 def _level_body(
@@ -99,9 +129,11 @@ def _level_body(
     tile_sharding,
     stats_kind: str,
     symmetrize: bool = False,
+    refine_cycles: int = 0,
 ) -> jnp.ndarray:
     """One cascade level — stats, tiling, normalization, model forward,
-    denormalization and stitching — as straight-line traced code (callers jit)."""
+    denormalization, stitching and optional physics refinement — as
+    straight-line traced code (callers jit)."""
     fine_tile = 2 * coarse_tile
     next_res = f_next.shape[-1]
     if stats_kind == "per_tile":
@@ -136,19 +168,23 @@ def _level_body(
             split_tiles_overlapping(f_next, fine_tile, 2 * c_stride),
             split_tiles_overlapping(theta_next, fine_tile, 2 * c_stride),
         )
-        return stitch_tiles_overlapping(up_tiles, next_res, 2 * c_stride)
-    up_tiles = run_tiles(
-        split_tiles(current, coarse_tile),
-        split_tiles(f_next, fine_tile),
-        split_tiles(theta_next, fine_tile),
-    )
-    return stitch_tiles(up_tiles)
+        out = stitch_tiles_overlapping(up_tiles, next_res, 2 * c_stride)
+    else:
+        up_tiles = run_tiles(
+            split_tiles(current, coarse_tile),
+            split_tiles(f_next, fine_tile),
+            split_tiles(theta_next, fine_tile),
+        )
+        out = stitch_tiles(up_tiles)
+    if refine_cycles > 0:
+        out = _refine(out, f_next, theta_next, refine_cycles)
+    return out
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind",
-                     "symmetrize"),
+                     "symmetrize", "refine_cycles"),
 )
 def _fused_level(
     model,
@@ -162,6 +198,7 @@ def _fused_level(
     tile_sharding,
     stats_kind: str,
     symmetrize: bool = False,
+    refine_cycles: int = 0,
 ) -> jnp.ndarray:
     """One whole cascade level as a single XLA program.
 
@@ -171,7 +208,7 @@ def _fused_level(
     """
     return _level_body(model, variables, current, f_next, theta_next,
                        stats_source, coarse_tile, overlap, tile_sharding, stats_kind,
-                       symmetrize)
+                       symmetrize, refine_cycles)
 
 
 def _stats_source_kind(stats_mode: str, truth, current, train_stats):
@@ -188,7 +225,7 @@ def _stats_source_kind(stats_mode: str, truth, current, train_stats):
     jax.jit,
     static_argnames=(
         "model", "resolutions", "coarse_tile", "overlap", "tile_sharding", "stats_mode",
-        "symmetrize",
+        "symmetrize", "refine_cycles",
     ),
 )
 def _cascade_program(
@@ -205,6 +242,7 @@ def _cascade_program(
     tile_sharding,
     stats_mode: str,
     symmetrize: bool = False,
+    refine_cycles: int = 0,
 ):
     """The ENTIRE cascade (all levels, all scenes) as one XLA program.
 
@@ -233,7 +271,7 @@ def _cascade_program(
                 model, level_vars, current, fs[i], thetas[i], stats_source,
                 coarse_tile=coarse_tile, overlap=overlap,
                 tile_sharding=tile_sharding, stats_kind=kind,
-                symmetrize=symmetrize,
+                symmetrize=symmetrize, refine_cycles=refine_cycles,
             )
             outs.append(current)
         return tuple(outs)
@@ -242,6 +280,116 @@ def _cascade_program(
     if not batched:
         return one_scene((u_start, f_levels, theta_levels, u_truth_levels))
     return jax.lax.map(one_scene, (u_start, f_levels, theta_levels, u_truth_levels))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "coarse_tile", "overlap", "tile_sharding", "stats_kind",
+                     "symmetrize", "refine_cycles"),
+)
+def _level_program(
+    model,
+    variables: Dict,
+    current: jnp.ndarray,
+    f_next: jnp.ndarray,
+    theta_next: jnp.ndarray,
+    stats_field,                    # per-scene stats source field, or None
+    train_stats,                    # NormStats for stats_kind='precomputed', or None
+    coarse_tile: int,
+    overlap: bool,
+    tile_sharding,
+    stats_kind: str,
+    symmetrize: bool = False,
+    refine_cycles: int = 0,
+) -> jnp.ndarray:
+    """ONE cascade level over a batch of scenes as one XLA program.
+
+    Used by :func:`ml_cascade_stepwise` to execute the cascade level-by-level
+    (4 programs instead of 1) so each level's wall-clock is observable while
+    total device work stays exactly one cascade pass."""
+    if current.ndim == 2:
+        src = stats_field if stats_kind == "field" else (
+            train_stats if stats_kind == "precomputed" else None)
+        return _level_body(model, variables, current, f_next, theta_next, src,
+                           coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
+                           refine_cycles)
+    if stats_kind == "field":
+        def one(args):
+            cur, f, th, sf = args
+            return _level_body(model, variables, cur, f, th, sf,
+                               coarse_tile, overlap, tile_sharding, "field", symmetrize,
+                               refine_cycles)
+        return jax.lax.map(one, (current, f_next, theta_next, stats_field))
+
+    def one(args):
+        cur, f, th = args
+        src = train_stats if stats_kind == "precomputed" else None
+        return _level_body(model, variables, cur, f, th, src,
+                           coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
+                           refine_cycles)
+    return jax.lax.map(one, (current, f_next, theta_next))
+
+
+def ml_cascade_stepwise(
+    model,
+    variables: Dict,
+    data: Dict,
+    target_resolution: int,
+    stats_mode: str = "scene",
+    train_stats: Optional[NormStats] = None,
+    tile_sharding: Optional[jax.sharding.NamedSharding] = None,
+    start_resolution: int = 40,
+    coarse_tile: int = 20,
+    overlap: bool = False,
+    symmetrize: bool = False,
+    refine_cycles: int = 0,
+) -> Tuple[Dict[int, jnp.ndarray], Dict[int, float]]:
+    """The cascade executed one level-program at a time, returning
+    ``(fields_by_resolution, level_wall_seconds_by_resolution)``.
+
+    Values are identical to :func:`ml_cascade` (each level depends only on the
+    chain below it), but per-level wall-clock is observable: the cumulative sum
+    of level times gives the time-to-reach every target resolution from a
+    SINGLE cascade pass — no per-target re-runs (the reference harness times
+    each target with a fresh full run, ``resolution_comparison_statistical.py:
+    143-168``; so did round 2 of this build). Each level forces completion
+    with a scalar fetch (remote-TPU ``block_until_ready`` can return early).
+    """
+    if stats_mode not in ("oracle", "scene", "train", "tile"):
+        raise ValueError(f"unknown stats_mode: {stats_mode!r}")
+    kind = {"oracle": "field", "scene": "field", "train": "precomputed",
+            "tile": "per_tile"}[stats_mode]
+
+    resolutions = []
+    res = start_resolution
+    while res < target_resolution:
+        res *= 2
+        resolutions.append(res)
+
+    current = data["u"][start_resolution]
+    outs: Dict[int, jnp.ndarray] = {}
+    times: Dict[int, float] = {}
+    for i, res in enumerate(resolutions):
+        if stats_mode == "oracle":
+            stats_field = data["u"][res]
+        elif stats_mode == "scene":
+            stats_field = current
+        else:
+            stats_field = None
+        level_vars = (
+            variables[min(i, len(variables) - 1)]
+            if isinstance(variables, (list, tuple)) else variables
+        )
+        t0 = time.perf_counter()
+        current = _level_program(
+            model, level_vars, current, data["f"][res], data["theta"][res],
+            stats_field, train_stats if kind == "precomputed" else None,
+            coarse_tile, overlap, tile_sharding, kind, symmetrize, refine_cycles,
+        )
+        float(jnp.sum(current))
+        times[res] = time.perf_counter() - t0
+        outs[res] = current
+    return outs, times
 
 
 def ml_cascade(
@@ -256,6 +404,7 @@ def ml_cascade(
     coarse_tile: int = 20,
     overlap: bool = False,
     symmetrize: bool = False,
+    refine_cycles: int = 0,
 ) -> Dict[int, jnp.ndarray]:
     """Fused multi-scene cascade: ONE device program for all levels (and all
     scenes when the ``data`` fields carry a leading batch axis), returning the
@@ -286,7 +435,7 @@ def ml_cascade(
     outs = _cascade_program(
         model, variables, data["u"][start_resolution], f_levels, theta_levels,
         u_truths, train_stats, resolutions, coarse_tile, overlap,
-        tile_sharding, stats_mode, symmetrize,
+        tile_sharding, stats_mode, symmetrize, refine_cycles,
     )
     return dict(zip(resolutions, outs))
 
@@ -303,6 +452,7 @@ def ml_multi_level_upscale(
     coarse_tile: int = 20,
     overlap: bool = False,
     symmetrize: bool = False,
+    refine_cycles: int = 0,
 ) -> jnp.ndarray:
     """Cascade from ``start_resolution`` to ``target_resolution``.
 
@@ -325,7 +475,7 @@ def ml_multi_level_upscale(
         model, variables, data, target_resolution, stats_mode=stats_mode,
         train_stats=train_stats, tile_sharding=tile_sharding,
         start_resolution=start_resolution, coarse_tile=coarse_tile,
-        overlap=overlap, symmetrize=symmetrize,
+        overlap=overlap, symmetrize=symmetrize, refine_cycles=refine_cycles,
     )
     return outs[target_resolution]
 

@@ -77,12 +77,58 @@ def resolve_model(model_path: str | None, results_dir: str = "results"):
     return build_model(model_name, **overrides), variables, train_stats
 
 
-def resolve_expert(model_path: str, results_dir: str = "results"):
+def add_level_expert_flags(parser) -> None:
+    """The per-level-expert CLI vocabulary, shared by every cascade harness
+    (statistical, resolution_comparison): the champion deployment is a
+    two-expert cascade, so each harness must be able to run it (the reference
+    has a single ``--model_path`` flag, ``resolution_comparison.py:371-375``;
+    this build's model space is richer and its harnesses must cover it)."""
+    parser.add_argument("--model_path_level1", type=str, default=None,
+                        help="optional level-1 specialist checkpoint (same "
+                        "architecture): used for the 40->80 step, with "
+                        "--model_path serving the deeper levels")
+    parser.add_argument("--model_path_level", nargs=2, action="append",
+                        metavar=("LEVEL", "PATH"), default=None,
+                        help="general per-level expert: e.g. --model_path_level 2 "
+                        "results/level2_run_x (repeatable); unlisted levels fall "
+                        "back to --model_path")
+
+
+def resolve_level_experts(model_path, args, results_dir: str = "results"):
+    """(model, variables_or_tuple, train_stats) honoring the per-level expert
+    flags. The tuple follows the fused-cascade convention (level ``i`` uses
+    ``variables[min(i, len - 1)]``): expert checkpoints fill their 1-based
+    level slots and every deeper level falls back to the ``--model_path``
+    generalist."""
+    model, variables, train_stats = resolve_model(model_path, results_dir)
+    experts = {}
+    if getattr(args, "model_path_level1", None) is not None:
+        experts[1] = args.model_path_level1
+    for lvl, path in (getattr(args, "model_path_level", None) or []):
+        experts[int(lvl)] = path
+    if not experts:
+        return model, variables, train_stats
+    if min(experts) < 1:
+        raise SystemExit("--model_path_level levels are 1-based")
+    top = max(experts)
+    seq = [variables] * (top + 1)
+    for lvl, path in experts.items():
+        _, v, _ = resolve_model(path, results_dir)
+        seq[lvl - 1] = v
+    return model, tuple(seq), train_stats
+
+
+def resolve_expert(model_path: str | None, results_dir: str = "results"):
     """(model, variables, normalization) for one routed expert — the
     normalization mode comes from the run's config.json so eval-time input
     construction matches how the expert was trained."""
     import json
 
+    if model_path is None:
+        from superresolution_for_pdes_tpu.utils.runs import find_latest_run_dir
+
+        model_path = find_latest_run_dir(results_dir)
+        print(f"using latest run: {model_path}")
     model, variables, _ = resolve_model(model_path, results_dir)
     normalization = "dataset"
     cfg_path = Path(model_path) / "config.json"

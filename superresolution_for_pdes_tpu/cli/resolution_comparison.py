@@ -7,7 +7,7 @@ import argparse
 
 import jax
 
-from superresolution_for_pdes_tpu.cli import resolve_model
+from superresolution_for_pdes_tpu.cli import add_level_expert_flags, resolve_level_experts
 
 
 def main(argv=None) -> None:
@@ -16,6 +16,7 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Multi-level cascade resolution sweep")
     parser.add_argument("--model_path", type=str, default=None)
+    add_level_expert_flags(parser)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
     parser.add_argument("--k", type=float, nargs=2, default=(10.0, 11.0))
     parser.add_argument("--stats_mode", choices=["oracle", "scene", "train", "tile"], default="oracle")
@@ -24,10 +25,16 @@ def main(argv=None) -> None:
                         help="shard the tile axis over all available devices")
     parser.add_argument("--overlap", action="store_true",
                         help="half-tile overlapping windows with feathered blending")
+    parser.add_argument("--symmetrize", action="store_true",
+                        help="average the model over the 8 square symmetries "
+                        "(honest test-time ensembling; one 8x-larger batch)")
+    parser.add_argument("--refine_cycles", type=int, default=0,
+                        help="also report ml_physics: the cascade with N "
+                        "honest V-cycles of the known PDE per level")
     parser.add_argument("--out", type=str, default="results/resolution_comparison")
     args = parser.parse_args(argv)
 
-    model, variables, train_stats = resolve_model(args.model_path)
+    model, variables, train_stats = resolve_level_experts(args.model_path, args)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
     tile_sharding = None
@@ -43,15 +50,24 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         resolutions=tuple(args.resolutions), k_range=tuple(args.k),
         stats_mode=args.stats_mode, save_dir=args.out, tile_sharding=tile_sharding,
-        overlap=args.overlap, train_stats=train_stats,
+        overlap=args.overlap, train_stats=train_stats, symmetrize=args.symmetrize,
+        refine_cycles=args.refine_cycles,
     )
     for res in args.resolutions:
         m = result["metrics"]
-        print(
-            f"{res}x{res}: ML MAE {m['ml_multi_level'][res]['mae']:.6e} | "
-            f"bilinear {m['bilinear_direct'][res]['mae']:.6e} | "
+        line = (
+            f"{res}x{res}: ML MAE {m['ml_multi_level'][res]['mae']:.6e} "
+            f"(rel-L2 {m['ml_multi_level'][res]['relative_l2']:.3f}) | "
+            f"bilinear {m['bilinear_direct'][res]['mae']:.6e} "
+            f"(rel-L2 {m['bilinear_direct'][res]['relative_l2']:.3f}) | "
             f"bicubic {m['bicubic_direct'][res]['mae']:.6e}"
         )
+        if "ml_physics" in m:
+            line += (
+                f" | ml+physics MAE {m['ml_physics'][res]['mae']:.6e} "
+                f"(rel-L2 {m['ml_physics'][res]['relative_l2']:.3f})"
+            )
+        print(line)
 
 
 if __name__ == "__main__":

@@ -6,7 +6,7 @@ import argparse
 
 import jax
 
-from superresolution_for_pdes_tpu.cli import resolve_model
+from superresolution_for_pdes_tpu.cli import add_level_expert_flags, resolve_level_experts
 
 
 def main(argv=None) -> None:
@@ -15,10 +15,7 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="N-example statistical benchmark with timings")
     parser.add_argument("--model_path", type=str, default=None)
-    parser.add_argument("--model_path_level1", type=str, default=None,
-                        help="optional level-1 specialist checkpoint (same "
-                        "architecture): used for the 40->80 step, with "
-                        "--model_path serving the deeper levels")
+    add_level_expert_flags(parser)
     parser.add_argument("--n_examples", type=int, default=10)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
     parser.add_argument("--k", type=float, nargs=2, default=(8.0, 12.0))
@@ -28,14 +25,15 @@ def main(argv=None) -> None:
     parser.add_argument("--symmetrize", action="store_true",
                         help="average the model over the 8 square symmetries "
                         "(honest test-time ensembling; 8x model FLOPs)")
+    parser.add_argument("--refine_cycles", type=int, default=0,
+                        help="physics refinement: N multigrid V-cycles of the "
+                        "known PDE per level with the ML field as initial "
+                        "iterate (honest — no ground truth touched)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
 
-    model, variables, train_stats = resolve_model(args.model_path)
-    if args.model_path_level1 is not None:
-        _, l1_variables, _ = resolve_model(args.model_path_level1)
-        variables = (l1_variables, variables)
+    model, variables, train_stats = resolve_level_experts(args.model_path, args)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
 
@@ -46,11 +44,13 @@ def main(argv=None) -> None:
         n_examples=args.n_examples, resolutions=tuple(args.resolutions),
         k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
         train_stats=train_stats, overlap=args.overlap, symmetrize=args.symmetrize,
+        refine_cycles=args.refine_cycles,
     )
     for res, a in result["aggregate"].items():
         print(
             f"{res}x{res}: ML MAE {a['ml_mae_mean']:.3e}+/-{a['ml_mae_std']:.1e} | "
             f"bilinear {a['bilinear_mae_mean']:.3e} | advantage {a['ml_advantage']:.1f}x | "
+            f"rel-L2 ml {a['ml_rel_l2_mean']:.3f} bl {a['bilinear_rel_l2_mean']:.3f} | "
             f"ml {a['ml_time_mean']*1e3:.2f} ms, solve {a['solve_time_mean']*1e3:.2f} ms"
         )
 

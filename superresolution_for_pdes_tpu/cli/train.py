@@ -32,6 +32,10 @@ def main(argv=None) -> None:
                         help="finest cascade resolution for generated tiles; "
                         "80 restricts to level-1 (40->80) pairs — the "
                         "level-specialist recipe")
+    parser.add_argument("--gen_cascade_coarsest", type=int, default=40,
+                        help="coarsest cascade resolution for generated tiles; "
+                        "with --gen_cascade_finest this selects one level's "
+                        "tile distribution (e.g. 80/160 = the 80->160 level)")
     parser.add_argument(
         "--gen_selffeed_scenes", type=int, default=0,
         help="mix in self-feeding cascade tiles whose coarse inputs are an "
@@ -133,6 +137,7 @@ def main(argv=None) -> None:
             cascade_tiles_per_level=args.gen_tiles_per_level,
             cascade_k_range=tuple(args.gen_cascade_k),
             cascade_finest=args.gen_cascade_finest,
+            cascade_coarsest=args.gen_cascade_coarsest,
         )
         if args.gen_selffeed_scenes > 0:
             if args.gen_selffeed_model is None:
@@ -180,6 +185,7 @@ def main(argv=None) -> None:
                 cascade_tiles_per_level=args.gen_tiles_per_level,
                 cascade_k_range=tuple(args.gen_cascade_k),
                 cascade_finest=args.gen_cascade_finest,
+                cascade_coarsest=args.gen_cascade_coarsest,
             )
 
     run_dir = create_run_dir(args.results, args.prefix)

@@ -255,6 +255,7 @@ def generate_mixed_dataset(
     cascade_tiles_per_level: int = 8,
     cascade_k_range: Tuple[float, float] = (0.5, 12.0),
     cascade_finest: int = 640,
+    cascade_coarsest: int = 40,
     dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """One-call training-set recipe (shared by the generate_data and train
@@ -290,7 +291,8 @@ def generate_mixed_dataset(
         cascade = generate_cascade_dataset(
             jax.random.fold_in(key, 99), n_cascade_scenes,
             tiles_per_level=cascade_tiles_per_level, k_range=cascade_k_range,
-            finest=cascade_finest, constant_theta=theta == "constant", dtype=dtype,
+            finest=cascade_finest, coarsest=cascade_coarsest,
+            constant_theta=theta == "constant", dtype=dtype,
         )
         dataset = combine_datasets(dataset, cascade)
     return dataset
@@ -309,10 +311,14 @@ def _cascade_scene_fields(
     constant_theta: bool,
     dtype,
     refine_iters: int,
+    coarsest: int = 40,
 ):
-    """Batched multi-resolution scenes: exact solves at 40, 80, ..., finest of
-    the same strided f/theta fields (the ``solve_multi_resolution`` recipe,
-    reference ``resolution_comparison.py:13-78``, with a scene batch axis)."""
+    """Batched multi-resolution scenes: exact solves at coarsest, ..., finest
+    of the same strided f/theta fields (the ``solve_multi_resolution`` recipe,
+    reference ``resolution_comparison.py:13-78``, with a scene batch axis).
+    ``coarsest > 40`` restricts the hierarchy to the deeper levels — the
+    level-specialist training recipe (e.g. coarsest=80, finest=160 yields only
+    the 80->160 level's tile distribution)."""
     k1_key, k2_key, t_key = jax.random.split(key, 3)
     lo, hi = k_range
     k1 = jax.random.uniform(k1_key, (n_scenes,), dtype, lo, hi)
@@ -327,7 +333,7 @@ def _cascade_scene_fields(
         )
 
     resolutions = []
-    r = 40
+    r = coarsest
     while r <= finest:
         resolutions.append(r)
         r *= 2
@@ -416,6 +422,7 @@ def generate_cascade_dataset(
     tiles_per_level: int = 8,
     k_range: Tuple[float, float] = (0.5, 12.0),
     finest: int = 640,
+    coarsest: int = 40,
     constant_theta: bool = True,
     dtype=jnp.float32,
     refine_iters: int = 1,
@@ -432,7 +439,8 @@ def generate_cascade_dataset(
     """
     scene_key, tile_key = jax.random.split(key)
     fields, resolutions, k1, k2 = _cascade_scene_fields(
-        scene_key, n_scenes, finest, k_range, constant_theta, dtype, refine_iters
+        scene_key, n_scenes, finest, k_range, constant_theta, dtype, refine_iters,
+        coarsest=coarsest,
     )
     return _tile_pairs_from_levels(
         tile_key, fields["u"], fields["u"], fields["f"], fields["theta"],

@@ -29,10 +29,14 @@ def evaluate_out_of_sample(
     k_range: Tuple[float, float] = (5.0, 8.0),
     save_dir: Optional[Path] = None,
     n_plot: int = 3,
+    constant_theta: bool = True,
+    normalization: str = "dataset",
+    symmetrize: bool = False,
 ) -> Dict:
-    data = generate_test_dataset(key, n_samples, k_range, constant_theta=True)
+    data = generate_test_dataset(key, n_samples, k_range, constant_theta=constant_theta)
     result = evaluate_dataset(
-        model, variables, data, label="out_of_sample", save_dir=save_dir, n_plot=n_plot
+        model, variables, data, label="out_of_sample", save_dir=save_dir, n_plot=n_plot,
+        normalization=normalization, symmetrize=symmetrize,
     )
     if save_dir is not None:
         save_dir = Path(save_dir)
@@ -48,7 +52,13 @@ def evaluate_out_of_sample(
             plot_error_distribution,
         )
 
-        ml = predict_dataset(model, variables, data)
+        if hasattr(model, "predict"):  # a RegimeRouter (expert ensemble)
+            from superresolution_for_pdes_tpu.data.normalization import NormStats
+
+            ml = model.predict(data, NormStats.from_dataset(data), symmetrize=symmetrize)
+        else:
+            ml = predict_dataset(model, variables, data,
+                                 normalization=normalization, symmetrize=symmetrize)
         fine_shape = tuple(int(s) for s in data["u_fine"].shape[-2:])
         bilinear = resize_align_corners(data["u_coarse"], fine_shape, "bilinear")
         for idx in range(min(n_plot, n_samples)):

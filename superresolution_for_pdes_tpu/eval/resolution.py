@@ -38,9 +38,16 @@ def run_resolution_sweep(
     tile_sharding=None,
     overlap: bool = False,
     train_stats=None,
+    symmetrize: bool = False,
+    refine_cycles: int = 0,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
-    ``{metrics, solutions, scene}``."""
+    ``{metrics, solutions, scene}``.
+
+    With ``refine_cycles > 0`` an additional ``ml_physics`` method is
+    reported: the same cascade with N honest V-cycles of the known PDE per
+    level (ML as initial iterate) — the pure-ML ``ml_multi_level`` column is
+    unchanged so the two remain directly comparable."""
     if scene is None:
         scene = solve_multi_resolution(key, resolutions=tuple(resolutions), k_range=k_range)
 
@@ -51,7 +58,14 @@ def run_resolution_sweep(
     methods["ml_multi_level"] = ml_cascade(
         model, variables, scene, max(resolutions), stats_mode=stats_mode,
         tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
+        symmetrize=symmetrize,
     )
+    if refine_cycles > 0:
+        methods["ml_physics"] = ml_cascade(
+            model, variables, scene, max(resolutions), stats_mode=stats_mode,
+            tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
+            symmetrize=symmetrize, refine_cycles=refine_cycles,
+        )
     for res in resolutions:
         methods.setdefault("bilinear_direct", {})[res] = interpolation_upscale(u40, res, "bilinear")
         methods.setdefault("bicubic_direct", {})[res] = interpolation_upscale(u40, res, "bicubic")

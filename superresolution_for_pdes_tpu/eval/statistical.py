@@ -10,10 +10,11 @@ figure (``:299-499``). The reference's plotting crash (5 args to a 7-arg
 function, ``:200-203``) is of course not replicated.
 
 TPU-first: the reference runs the N examples fully serially — N x 4 target
-resolutions x (res/20)^2 batch-1 model calls. Here ALL scenes and ALL cascade
-levels execute as ONE fused XLA program per target resolution
-(:func:`~superresolution_for_pdes_tpu.cascade.upscale.ml_cascade` with a
-batched scene axis); ground truth generation is one batched direct solve per
+resolutions x (res/20)^2 batch-1 model calls. Here ALL scenes run through ONE
+cascade pass executed level-by-level (4 scene-batched XLA programs;
+:func:`~superresolution_for_pdes_tpu.cascade.upscale.ml_cascade_stepwise`),
+so per-target times are the cumulative level times of a single pass — no
+per-target re-runs. Ground truth generation is one batched direct solve per
 resolution. Timings force completion with a scalar fetch
 (``block_until_ready`` over remote-TPU tunnels can return early).
 """
@@ -35,7 +36,7 @@ from superresolution_for_pdes_tpu.cascade.multires import (
 )
 from superresolution_for_pdes_tpu.cascade.upscale import (
     interpolation_upscale,
-    ml_cascade,
+    ml_cascade_stepwise,
     ml_multi_level_upscale,
 )
 from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
@@ -84,6 +85,7 @@ def run_statistical_benchmark(
     train_stats=None,
     overlap: bool = False,
     symmetrize: bool = False,
+    refine_cycles: int = 0,
 ) -> Dict:
     resolutions = tuple(resolutions)
     scenes = solve_multi_resolution_batch(
@@ -91,25 +93,25 @@ def run_statistical_benchmark(
     )
     solve_times = scenes.pop("solve_times")
 
-    # One fused program for all scenes and all levels; per-target timings come
-    # from truncated cascade calls (each is still one program for N scenes).
-    # Values are identical: deeper targets reuse the same level chain.
+    # ONE cascade pass for all scenes and all levels, executed level-by-level
+    # so per-level wall-clock is observable: the time to reach a target is the
+    # cumulative sum of its level times (values are identical to the fused
+    # program — each level depends only on the chain below it). A first pass
+    # warms the per-level compilations; the second is the timed + output pass.
     top = max(resolutions)
+    ml_cascade_stepwise(model, variables, scenes, top, stats_mode=stats_mode,
+                        train_stats=train_stats, overlap=overlap,
+                        symmetrize=symmetrize, refine_cycles=refine_cycles)
+    ml_fields, level_times = ml_cascade_stepwise(
+        model, variables, scenes, top, stats_mode=stats_mode,
+        train_stats=train_stats, overlap=overlap, symmetrize=symmetrize,
+        refine_cycles=refine_cycles)
     ml_times: Dict[int, float] = {}
-    for res in resolutions:
-        out = ml_cascade(model, variables, scenes, res, stats_mode=stats_mode,
-                         train_stats=train_stats, overlap=overlap,
-                         symmetrize=symmetrize)
-        float(jnp.sum(out[res]))  # warm/compile
-        t0 = time.perf_counter()
-        out = ml_cascade(model, variables, scenes, res, stats_mode=stats_mode,
-                         train_stats=train_stats, overlap=overlap,
-                         symmetrize=symmetrize)
-        float(jnp.sum(out[res]))
-        ml_times[res] = (time.perf_counter() - t0) / n_examples
-    ml_fields = ml_cascade(model, variables, scenes, top, stats_mode=stats_mode,
-                           train_stats=train_stats, overlap=overlap,
-                         symmetrize=symmetrize)
+    cum = 0.0
+    for res in sorted(level_times):
+        cum += level_times[res]
+        if res in resolutions:
+            ml_times[res] = cum / n_examples
 
     bl_fields: Dict[int, jnp.ndarray] = {}
     bl_times: Dict[int, float] = {}
@@ -144,17 +146,25 @@ def run_statistical_benchmark(
     for res in resolutions:
         ml_mae = np.array([r[res]["ml"]["mae"] for r in records])
         bl_mae = np.array([r[res]["bilinear"]["mae"] for r in records])
+        # Relative L2 is the honest headline: MAE ratios flatter the cascade
+        # wherever bilinear is ~100% wrong, rel-L2 says how much of the
+        # field's energy the prediction actually recovers.
+        ml_rl2 = np.array([r[res]["ml"]["relative_l2"] for r in records])
+        bl_rl2 = np.array([r[res]["bilinear"]["relative_l2"] for r in records])
         aggregate[res] = {
             "ml_mae_mean": float(ml_mae.mean()), "ml_mae_std": float(ml_mae.std()),
             "bilinear_mae_mean": float(bl_mae.mean()), "bilinear_mae_std": float(bl_mae.std()),
             "ml_advantage": float(bl_mae.mean() / max(ml_mae.mean(), 1e-30)),
+            "ml_rel_l2_mean": float(ml_rl2.mean()), "ml_rel_l2_std": float(ml_rl2.std()),
+            "bilinear_rel_l2_mean": float(bl_rl2.mean()),
             "ml_time_mean": ml_times[res],
             "bilinear_time_mean": bl_times[res],
             "solve_time_mean": float(solve_times.get(res, np.nan)),
         }
 
     result = {"records": records, "aggregate": aggregate, "n_examples": n_examples,
-              "k_range": list(k_range), "stats_mode": stats_mode}
+              "k_range": list(k_range), "stats_mode": stats_mode,
+              "refine_cycles": refine_cycles}
 
     if save_dir is not None:
         save_dir = Path(save_dir)
@@ -177,14 +187,18 @@ def _write_csv_and_plots(records, aggregate, resolutions, save_dir: Path):
                 rows.append({
                     "example": i, "resolution": res, "k1": r["k1"], "k2": r["k2"],
                     "ml_mae": r[res]["ml"]["mae"], "ml_rmse": r[res]["ml"]["rmse"],
+                    "ml_rel_l2": r[res]["ml"]["relative_l2"],
                     "bilinear_mae": r[res]["bilinear"]["mae"],
                     "bilinear_rmse": r[res]["bilinear"]["rmse"],
+                    "bilinear_rel_l2": r[res]["bilinear"]["relative_l2"],
                     "ml_time": r[res]["ml_time"], "bilinear_time": r[res]["bilinear_time"],
                     "solve_time": r["solve_times"].get(res, float("nan")),
                 })
         pd.DataFrame(rows).to_csv(save_dir / "statistical_results.csv", index=False)
-    except Exception:
-        pass
+    except Exception as exc:  # pragma: no cover - depends on pandas availability
+        import warnings
+
+        warnings.warn(f"statistical_results.csv not written: {exc!r}")
 
     lines = ["Statistical benchmark summary", "=" * 34]
     for res in resolutions:
@@ -193,6 +207,8 @@ def _write_csv_and_plots(records, aggregate, resolutions, save_dir: Path):
             f"{res}x{res}: ML MAE {a['ml_mae_mean']:.3e} +/- {a['ml_mae_std']:.1e} | "
             f"bilinear MAE {a['bilinear_mae_mean']:.3e} +/- {a['bilinear_mae_std']:.1e} | "
             f"advantage {a['ml_advantage']:.1f}x",
+            f"    rel-L2: ml {a['ml_rel_l2_mean']:.3f} +/- {a['ml_rel_l2_std']:.3f}, "
+            f"bilinear {a['bilinear_rel_l2_mean']:.3f}",
             f"    times: ml {a['ml_time_mean']*1e3:.2f} ms, bilinear "
             f"{a['bilinear_time_mean']*1e3:.2f} ms, direct solve {a['solve_time_mean']*1e3:.2f} ms",
         ]

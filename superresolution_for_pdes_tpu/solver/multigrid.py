@@ -134,13 +134,15 @@ def vcycle(u: jnp.ndarray, b: jnp.ndarray, pre: int = 2, post: int = 2,
     """One Galerkin V-cycle for ``(-L) u = b`` on the last two axes (batched).
 
     ``use_pallas`` swaps the finest-level smoother + residual for the fused
-    VMEM-resident Pallas kernels (default: off; enable per the measured A/B in
-    ``reports/`` — see ``bench_kernels.py``).
+    VMEM-resident Pallas kernels. Default (``None``) follows the measured A/B
+    (``reports/kernels_tpu.md``, regenerated by ``benchmarks/bench_kernels.py``):
+    the Pallas path wins 1.06-1.33x on TPU at n >= 160 and is auto-enabled
+    there; smaller grids and CPU/GPU backends keep the einsum path.
     """
     n = b.shape[-1]
     sizes, levels, A_inv = _hierarchy_np(n)
     if use_pallas is None:
-        use_pallas = False
+        use_pallas = n >= 160 and jax.default_backend() not in ("cpu", "gpu")
     return _vcycle(u, b, sizes, levels, A_inv, 0, pre, post, omega, use_pallas)
 
 

@@ -213,3 +213,77 @@ def test_per_level_expert_variables(scene):
     mixed = ml_cascade(model, (va, vb), scene32, 160, stats_mode="tile")
     np.testing.assert_allclose(np.asarray(mixed[80]), np.asarray(all_a[80]), rtol=1e-6)
     assert np.abs(np.asarray(mixed[160]) - np.asarray(all_a[160])).max() > 0
+
+
+def test_stepwise_cascade_matches_fused(scene):
+    """ml_cascade_stepwise returns the same fields as the fused program plus
+    per-level wall times (one pass, no per-target re-runs)."""
+    from superresolution_for_pdes_tpu.cascade.multires import solve_multi_resolution_batch
+    from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade, ml_cascade_stepwise
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scenes = solve_multi_resolution_batch(jax.random.key(3), 2, resolutions=(80, 160))
+    fused = ml_cascade(model, variables, scenes, 160, stats_mode="tile")
+    stepped, times = ml_cascade_stepwise(model, variables, scenes, 160, stats_mode="tile")
+    assert set(times) == {80, 160} and all(t > 0 for t in times.values())
+    for res in (80, 160):
+        np.testing.assert_allclose(
+            np.asarray(stepped[res]), np.asarray(fused[res]), rtol=1e-5, atol=1e-7
+        )
+    # scene mode (stats from the current field) agrees too
+    fused_s = ml_cascade(model, variables, scenes, 160, stats_mode="scene")
+    stepped_s, _ = ml_cascade_stepwise(model, variables, scenes, 160, stats_mode="scene")
+    np.testing.assert_allclose(
+        np.asarray(stepped_s[160]), np.asarray(fused_s[160]), rtol=1e-5, atol=1e-7
+    )
+
+
+def test_refine_cycles_improve_accuracy(scene):
+    """Physics refinement (honest V-cycles of the known PDE on the stitched
+    field) strictly improves cascade accuracy against the exact solution."""
+    from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene32 = {
+        fld: {r: jnp.asarray(v, jnp.float32) for r, v in scene[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    plain = ml_cascade(model, variables, scene32, 160, stats_mode="tile")
+    refined = ml_cascade(model, variables, scene32, 160, stats_mode="tile", refine_cycles=2)
+    for res in (80, 160):
+        truth = np.asarray(scene["u"][res], np.float64)
+        err_plain = np.abs(np.asarray(plain[res], np.float64) - truth).mean()
+        err_ref = np.abs(np.asarray(refined[res], np.float64) - truth).mean()
+        assert err_ref < 0.5 * err_plain, (res, err_plain, err_ref)
+
+
+def test_batched_dihedral_matches_sequential(scene):
+    """The one-batch dihedral fold equals applying the 8 transforms one at a
+    time (eval-mode BatchNorm has fixed stats, so the fold is exact)."""
+    from superresolution_for_pdes_tpu.cascade.upscale import _dihedral_apply
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((3, 40, 40, 3)), jnp.float32)
+    batched = _dihedral_apply(model, variables, x)
+    preds = []
+    for flip in (False, True):
+        xf = jnp.flip(x, axis=-3) if flip else x
+        for k in range(4):
+            xr = jnp.rot90(xf, k=k, axes=(-3, -2))
+            p = model.apply(variables, xr, train=False)
+            p = jnp.rot90(p, k=-k, axes=(-3, -2))
+            preds.append(jnp.flip(p, axis=-3) if flip else p)
+    sequential = sum(preds) / len(preds)
+    np.testing.assert_allclose(
+        np.asarray(batched), np.asarray(sequential), rtol=1e-5, atol=5e-6
+    )

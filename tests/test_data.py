@@ -219,3 +219,28 @@ def test_selffeed_cascade_dataset_uses_model_predictions():
     )
     # ...but the second level's inputs differ (prediction vs exact solve)
     assert np.abs(np.asarray(ds["u_coarse"][4:]) - np.asarray(exact["u_coarse"][4:])).max() > 0
+
+
+def test_cascade_coarsest_selects_levels():
+    """coarsest/finest restrict generated cascade tiles to chosen levels: with
+    coarsest=80, finest=160 every tile comes from the 80->160 pair only."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from superresolution_for_pdes_tpu.data.generate import generate_cascade_dataset
+
+    ds = generate_cascade_dataset(
+        jax.random.key(0), n_scenes=2, tiles_per_level=3, k_range=(6.0, 12.0),
+        finest=160, coarsest=80, constant_theta=True,
+    )
+    # one level pair x 2 scenes x 3 tiles
+    assert ds["u_fine"].shape == (6, 40, 40)
+    assert ds["u_coarse"].shape == (6, 20, 20)
+    # f coarse tiles are the [::2, ::2] stride of the fine tiles (windows of
+    # strides of the same finest field)
+    np.testing.assert_allclose(
+        np.asarray(ds["f_coarse"]), np.asarray(ds["f_fine"])[:, ::2, ::2],
+        rtol=1e-6, atol=1e-8,
+    )
+    assert bool(jnp.isfinite(ds["u_fine"]).all())
