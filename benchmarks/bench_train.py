@@ -77,6 +77,28 @@ def main() -> None:
         "value": round(samples_per_sec, 1), "unit": "samples/sec",
     }))
 
+    # MFU estimate: XLA's own FLOP count for the compiled epoch program over
+    # the measured wall-clock, against the v5e bf16 MXU peak (197 TFLOP/s;
+    # TPU matmuls at DEFAULT precision execute on the bf16 MXU datapath, so
+    # the bf16 peak is the relevant roofline for this f32-stored model).
+    mfu = None
+    try:
+        ca = train_epoch.lower(state, arrays, idx).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops_per_epoch = float(ca.get("flops", 0.0))
+        if flops_per_epoch > 0:
+            peak = 197e12
+            mfu = flops_per_epoch / per_epoch / peak
+            print(json.dumps({
+                "metric": "train_mfu_vs_v5e_bf16_peak",
+                "value": round(mfu, 4), "unit": "fraction",
+                "flops_per_epoch": flops_per_epoch,
+            }))
+    except Exception as exc:  # cost_analysis availability is backend-dependent
+        print(json.dumps({"metric": "train_mfu_vs_v5e_bf16_peak",
+                          "value": None, "note": repr(exc)}))
+
     # --- 2) cold-start wall-clock to reference-quality val ---
     dataset = generate_enhanced_dataset(jax.random.key(42), 1000, 1000)
     cfg = TrainConfig(num_epochs=args.epochs, checkpoint_interval=10**9)
@@ -100,6 +122,7 @@ def main() -> None:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)
         Path(args.out).write_text(json.dumps({
             "train_samples_per_sec": samples_per_sec,
+            "train_mfu_vs_v5e_bf16_peak": mfu,
             "epoch_seconds_published_config": per_epoch,
             "wallclock_to_convergence_sec": elapsed,
             "best_val": hist["best_val_loss"],
