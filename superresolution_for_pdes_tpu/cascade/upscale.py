@@ -243,6 +243,7 @@ def _cascade_program(
     stats_mode: str,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp_levels=None,                # (n_levels,) array or None
 ):
     """The ENTIRE cascade (all levels, all scenes) as one XLA program.
 
@@ -273,6 +274,8 @@ def _cascade_program(
                 tile_sharding=tile_sharding, stats_kind=kind,
                 symmetrize=symmetrize, refine_cycles=refine_cycles,
             )
+            if amp_levels is not None:
+                current = current * amp_levels[i]
             outs.append(current)
         return tuple(outs)
 
@@ -301,6 +304,7 @@ def _level_program(
     stats_kind: str,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp=None,                       # scalar amplitude correction or None
 ) -> jnp.ndarray:
     """ONE cascade level over a batch of scenes as one XLA program.
 
@@ -310,16 +314,18 @@ def _level_program(
     if current.ndim == 2:
         src = stats_field if stats_kind == "field" else (
             train_stats if stats_kind == "precomputed" else None)
-        return _level_body(model, variables, current, f_next, theta_next, src,
-                           coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
-                           refine_cycles)
+        out = _level_body(model, variables, current, f_next, theta_next, src,
+                          coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
+                          refine_cycles)
+        return out if amp is None else out * amp
     if stats_kind == "field":
         def one(args):
             cur, f, th, sf = args
             return _level_body(model, variables, cur, f, th, sf,
                                coarse_tile, overlap, tile_sharding, "field", symmetrize,
                                refine_cycles)
-        return jax.lax.map(one, (current, f_next, theta_next, stats_field))
+        out = jax.lax.map(one, (current, f_next, theta_next, stats_field))
+        return out if amp is None else out * amp
 
     def one(args):
         cur, f, th = args
@@ -327,7 +333,8 @@ def _level_program(
         return _level_body(model, variables, cur, f, th, src,
                            coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
                            refine_cycles)
-    return jax.lax.map(one, (current, f_next, theta_next))
+    out = jax.lax.map(one, (current, f_next, theta_next))
+    return out if amp is None else out * amp
 
 
 def ml_cascade_stepwise(
@@ -343,6 +350,7 @@ def ml_cascade_stepwise(
     overlap: bool = False,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp_levels=None,
 ) -> Tuple[Dict[int, jnp.ndarray], Dict[int, float]]:
     """The cascade executed one level-program at a time, returning
     ``(fields_by_resolution, level_wall_seconds_by_resolution)``.
@@ -380,11 +388,13 @@ def ml_cascade_stepwise(
             variables[min(i, len(variables) - 1)]
             if isinstance(variables, (list, tuple)) else variables
         )
+        amp = None if amp_levels is None else jnp.asarray(amp_levels)[i]
         t0 = time.perf_counter()
         current = _level_program(
             model, level_vars, current, data["f"][res], data["theta"][res],
             stats_field, train_stats if kind == "precomputed" else None,
             coarse_tile, overlap, tile_sharding, kind, symmetrize, refine_cycles,
+            amp,
         )
         float(jnp.sum(current))
         times[res] = time.perf_counter() - t0
@@ -405,10 +415,15 @@ def ml_cascade(
     overlap: bool = False,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp_levels=None,
 ) -> Dict[int, jnp.ndarray]:
     """Fused multi-scene cascade: ONE device program for all levels (and all
     scenes when the ``data`` fields carry a leading batch axis), returning the
     ML field at *every* intermediate resolution.
+
+    ``amp_levels`` (optional, one scalar per level) rescales each level's
+    stitched output — see :func:`calibrate_amplitude` for the honest
+    training-distribution calibration that produces it.
 
     This supersedes per-target re-runs: one pass to 640 produces the
     80/160/320 fields for free (they are the cascade's own intermediates —
@@ -432,10 +447,12 @@ def ml_cascade(
     u_truths = (
         tuple(data["u"][r] for r in resolutions) if stats_mode == "oracle" else None
     )
+    if amp_levels is not None:
+        amp_levels = jnp.asarray(amp_levels)
     outs = _cascade_program(
         model, variables, data["u"][start_resolution], f_levels, theta_levels,
         u_truths, train_stats, resolutions, coarse_tile, overlap,
-        tile_sharding, stats_mode, symmetrize, refine_cycles,
+        tile_sharding, stats_mode, symmetrize, refine_cycles, amp_levels,
     )
     return dict(zip(resolutions, outs))
 
@@ -453,6 +470,7 @@ def ml_multi_level_upscale(
     overlap: bool = False,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp_levels=None,
 ) -> jnp.ndarray:
     """Cascade from ``start_resolution`` to ``target_resolution``.
 
@@ -476,8 +494,89 @@ def ml_multi_level_upscale(
         train_stats=train_stats, tile_sharding=tile_sharding,
         start_resolution=start_resolution, coarse_tile=coarse_tile,
         overlap=overlap, symmetrize=symmetrize, refine_cycles=refine_cycles,
+        amp_levels=amp_levels,
     )
     return outs[target_resolution]
+
+
+def calibrate_amplitude(
+    model,
+    variables,
+    key: jax.Array,
+    n_scenes: int = 8,
+    target_resolution: int = 640,
+    k_range: Tuple[float, float] = (6.0, 12.0),
+    stats_mode: str = "tile",
+    train_stats: Optional[NormStats] = None,
+    start_resolution: int = 40,
+    coarse_tile: int = 20,
+    overlap: bool = False,
+    symmetrize: bool = False,
+) -> jnp.ndarray:
+    """Honest per-level amplitude calibration from TRAINING-distribution scenes.
+
+    The deployed cascade's dominant deep-level error is amplitude, not shape
+    (round-3 analysis, ``reports/ROUND3.md`` section 0): under per-tile
+    self-normalization each level's output inherits its input's scale, so the
+    coarse grid's dispersion-inflated amplitude compounds down the chain
+    (2x overshoot by 640^2 at k~10.5 while shape correlation stays ~0.85).
+    Per-level specialists cannot learn the fix — they train on true-amplitude
+    coarse inputs and never see the cascade's own drifted outputs (exposure
+    bias; measured: a level-3/4 specialist is neutral at 640^2).
+
+    This computes one scalar per level on ``n_scenes`` SELF-GENERATED scenes
+    drawn from the training distribution (a seed, the training k-range, the
+    exact solver — exactly the information training itself uses; the eval
+    scenes' ground truth is never touched): run the cascade level by level,
+    after each level set ``amp_i = mean_scenes(std(truth_i) / std(pred_i))``
+    and apply it before continuing, so deeper factors are calibrated in the
+    corrected regime they will deploy in. Pass the result as ``amp_levels=``
+    to :func:`ml_cascade` / :func:`ml_cascade_stepwise`.
+
+    The reference has no analogue (its oracle normalization,
+    ``resolution_comparison.py:196-201``, reads each eval scene's fine-solution
+    stats — a per-scene amplitude oracle; this is the honest replacement).
+    """
+    from superresolution_for_pdes_tpu.cascade.multires import (
+        solve_multi_resolution_batch,
+    )
+
+    resolutions = []
+    res = start_resolution
+    while res < target_resolution:
+        res *= 2
+        resolutions.append(res)
+
+    scenes = solve_multi_resolution_batch(
+        key, n_scenes, resolutions=tuple(resolutions), k_range=k_range
+    )
+    kind = {"oracle": "field", "scene": "field", "train": "precomputed",
+            "tile": "per_tile"}[stats_mode]
+    current = scenes["u"][start_resolution]
+    amps = []
+    for i, res in enumerate(resolutions):
+        if stats_mode == "oracle":
+            stats_field = scenes["u"][res]
+        elif stats_mode == "scene":
+            stats_field = current
+        else:
+            stats_field = None
+        level_vars = (
+            variables[min(i, len(variables) - 1)]
+            if isinstance(variables, (list, tuple)) else variables
+        )
+        pred = _level_program(
+            model, level_vars, current, scenes["f"][res], scenes["theta"][res],
+            stats_field, train_stats if kind == "precomputed" else None,
+            coarse_tile, overlap, None, kind, symmetrize, 0, None,
+        )
+        truth = scenes["u"][res]
+        ratio = jnp.std(truth, axis=(-2, -1)) / jnp.maximum(
+            jnp.std(pred, axis=(-2, -1)), 1e-30)
+        amp = jnp.mean(ratio)
+        amps.append(amp)
+        current = pred * amp
+    return jnp.stack(amps)
 
 
 def interpolation_upscale(

@@ -31,6 +31,11 @@ def main(argv=None) -> None:
     parser.add_argument("--refine_cycles", type=int, default=0,
                         help="also report ml_physics: the cascade with N "
                         "honest V-cycles of the known PDE per level")
+    parser.add_argument("--amp_calibrate", type=int, default=0,
+                        help="per-level amplitude calibration from N "
+                        "self-generated training-distribution scenes (honest)")
+    parser.add_argument("--amp_k", type=float, nargs=2, default=(6.0, 12.0))
+    parser.add_argument("--amp_seed", type=int, default=100)
     parser.add_argument("--out", type=str, default="results/resolution_comparison")
     args = parser.parse_args(argv)
 
@@ -51,7 +56,8 @@ def main(argv=None) -> None:
         resolutions=tuple(args.resolutions), k_range=tuple(args.k),
         stats_mode=args.stats_mode, save_dir=args.out, tile_sharding=tile_sharding,
         overlap=args.overlap, train_stats=train_stats, symmetrize=args.symmetrize,
-        refine_cycles=args.refine_cycles,
+        refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
+        amp_k=tuple(args.amp_k), amp_seed=args.amp_seed,
     )
     for res in args.resolutions:
         m = result["metrics"]

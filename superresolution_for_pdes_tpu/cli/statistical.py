@@ -29,6 +29,14 @@ def main(argv=None) -> None:
                         help="physics refinement: N multigrid V-cycles of the "
                         "known PDE per level with the ML field as initial "
                         "iterate (honest — no ground truth touched)")
+    parser.add_argument("--amp_calibrate", type=int, default=0,
+                        help="per-level amplitude calibration from N "
+                        "self-generated training-distribution scenes (honest; "
+                        "see cascade.upscale.calibrate_amplitude)")
+    parser.add_argument("--amp_k", type=float, nargs=2, default=(6.0, 12.0),
+                        help="k-range of the calibration scenes (the training "
+                        "cascade range by default)")
+    parser.add_argument("--amp_seed", type=int, default=100)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
@@ -44,8 +52,11 @@ def main(argv=None) -> None:
         n_examples=args.n_examples, resolutions=tuple(args.resolutions),
         k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
         train_stats=train_stats, overlap=args.overlap, symmetrize=args.symmetrize,
-        refine_cycles=args.refine_cycles,
+        refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
+        amp_k=tuple(args.amp_k), amp_seed=args.amp_seed,
     )
+    if result.get("amp_levels"):
+        print("amp_levels:", [round(a, 4) for a in result["amp_levels"]])
     for res, a in result["aggregate"].items():
         print(
             f"{res}x{res}: ML MAE {a['ml_mae_mean']:.3e}+/-{a['ml_mae_std']:.1e} | "

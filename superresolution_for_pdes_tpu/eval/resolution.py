@@ -40,6 +40,9 @@ def run_resolution_sweep(
     train_stats=None,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp_calibrate: int = 0,
+    amp_k: Tuple[float, float] = (6.0, 12.0),
+    amp_seed: int = 100,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``.
@@ -51,6 +54,19 @@ def run_resolution_sweep(
     if scene is None:
         scene = solve_multi_resolution(key, resolutions=tuple(resolutions), k_range=k_range)
 
+    # Honest per-level amplitude calibration from self-generated
+    # training-distribution scenes (never this eval scene).
+    amp_levels = None
+    if amp_calibrate > 0:
+        from superresolution_for_pdes_tpu.cascade.upscale import calibrate_amplitude
+
+        amp_levels = calibrate_amplitude(
+            model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
+            target_resolution=max(resolutions), k_range=amp_k,
+            stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
+            symmetrize=symmetrize,
+        )
+
     methods = {}
     u40 = scene["u"][40]
     # All cascade levels in ONE fused device program (the per-target fields
@@ -58,13 +74,14 @@ def run_resolution_sweep(
     methods["ml_multi_level"] = ml_cascade(
         model, variables, scene, max(resolutions), stats_mode=stats_mode,
         tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
-        symmetrize=symmetrize,
+        symmetrize=symmetrize, amp_levels=amp_levels,
     )
     if refine_cycles > 0:
         methods["ml_physics"] = ml_cascade(
             model, variables, scene, max(resolutions), stats_mode=stats_mode,
             tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
             symmetrize=symmetrize, refine_cycles=refine_cycles,
+            amp_levels=amp_levels,
         )
     for res in resolutions:
         methods.setdefault("bilinear_direct", {})[res] = interpolation_upscale(u40, res, "bilinear")
@@ -80,13 +97,16 @@ def run_resolution_sweep(
         }
 
     result = {"metrics": metrics, "solutions": methods, "scene": scene,
-              "k1": scene["k1"], "k2": scene["k2"], "stats_mode": stats_mode}
+              "k1": scene["k1"], "k2": scene["k2"], "stats_mode": stats_mode,
+              "amp_levels": (None if amp_levels is None
+                             else [float(a) for a in amp_levels])}
 
     if save_dir is not None:
         save_dir = Path(save_dir)
         save_dir.mkdir(parents=True, exist_ok=True)
         (save_dir / "resolution_metrics.json").write_text(
             json.dumps({"k1": scene["k1"], "k2": scene["k2"], "stats_mode": stats_mode,
+                        "amp_levels": result["amp_levels"],
                         "metrics": metrics}, indent=2)
         )
         from superresolution_for_pdes_tpu.eval.plots import (

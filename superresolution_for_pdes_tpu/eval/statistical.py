@@ -35,6 +35,7 @@ from superresolution_for_pdes_tpu.cascade.multires import (
     solve_multi_resolution_batch,
 )
 from superresolution_for_pdes_tpu.cascade.upscale import (
+    calibrate_amplitude,
     interpolation_upscale,
     ml_cascade_stepwise,
     ml_multi_level_upscale,
@@ -86,8 +87,23 @@ def run_statistical_benchmark(
     overlap: bool = False,
     symmetrize: bool = False,
     refine_cycles: int = 0,
+    amp_calibrate: int = 0,
+    amp_k: Tuple[float, float] = (6.0, 12.0),
+    amp_seed: int = 100,
 ) -> Dict:
     resolutions = tuple(resolutions)
+
+    # Honest per-level amplitude calibration from self-generated
+    # training-distribution scenes (cascade.upscale.calibrate_amplitude);
+    # the eval scenes below are untouched by it.
+    amp_levels = None
+    if amp_calibrate > 0:
+        amp_levels = calibrate_amplitude(
+            model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
+            target_resolution=max(resolutions), k_range=amp_k,
+            stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
+            symmetrize=symmetrize,
+        )
     scenes = solve_multi_resolution_batch(
         key, n_examples, resolutions=resolutions, k_range=k_range, time_solves=True
     )
@@ -101,11 +117,12 @@ def run_statistical_benchmark(
     top = max(resolutions)
     ml_cascade_stepwise(model, variables, scenes, top, stats_mode=stats_mode,
                         train_stats=train_stats, overlap=overlap,
-                        symmetrize=symmetrize, refine_cycles=refine_cycles)
+                        symmetrize=symmetrize, refine_cycles=refine_cycles,
+                        amp_levels=amp_levels)
     ml_fields, level_times = ml_cascade_stepwise(
         model, variables, scenes, top, stats_mode=stats_mode,
         train_stats=train_stats, overlap=overlap, symmetrize=symmetrize,
-        refine_cycles=refine_cycles)
+        refine_cycles=refine_cycles, amp_levels=amp_levels)
     ml_times: Dict[int, float] = {}
     cum = 0.0
     for res in sorted(level_times):
@@ -164,7 +181,9 @@ def run_statistical_benchmark(
 
     result = {"records": records, "aggregate": aggregate, "n_examples": n_examples,
               "k_range": list(k_range), "stats_mode": stats_mode,
-              "refine_cycles": refine_cycles}
+              "refine_cycles": refine_cycles,
+              "amp_levels": (None if amp_levels is None
+                             else [float(a) for a in amp_levels])}
 
     if save_dir is not None:
         save_dir = Path(save_dir)

@@ -287,3 +287,43 @@ def test_batched_dihedral_matches_sequential(scene):
     np.testing.assert_allclose(
         np.asarray(batched), np.asarray(sequential), rtol=1e-5, atol=5e-6
     )
+
+
+def test_amplitude_calibration(scene):
+    """amp_levels rescales each level's stitched output (level 1: exact 2x
+    check); calibrate_amplitude returns finite positive per-level factors and
+    the fused/stepwise paths agree under them."""
+    from superresolution_for_pdes_tpu.cascade.upscale import (
+        calibrate_amplitude,
+        ml_cascade,
+        ml_cascade_stepwise,
+    )
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene32 = {
+        fld: {r: jnp.asarray(v, jnp.float32) for r, v in scene[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    base = ml_cascade(model, variables, scene32, 80, stats_mode="tile")
+    amped = ml_cascade(model, variables, scene32, 80, stats_mode="tile",
+                       amp_levels=jnp.array([2.0]))
+    np.testing.assert_allclose(
+        np.asarray(amped[80]), 2.0 * np.asarray(base[80]), rtol=1e-6
+    )
+
+    amps = calibrate_amplitude(model, variables, jax.random.key(7), n_scenes=2,
+                               target_resolution=160, k_range=(6.0, 12.0),
+                               stats_mode="tile")
+    amps = np.asarray(amps)
+    assert amps.shape == (2,) and np.all(np.isfinite(amps)) and np.all(amps > 0)
+
+    fused = ml_cascade(model, variables, scene32, 160, stats_mode="tile",
+                       amp_levels=jnp.asarray(amps))
+    stepped, _ = ml_cascade_stepwise(model, variables, scene32, 160,
+                                     stats_mode="tile", amp_levels=jnp.asarray(amps))
+    np.testing.assert_allclose(
+        np.asarray(stepped[160]), np.asarray(fused[160]), rtol=1e-5, atol=1e-7
+    )
