@@ -27,6 +27,10 @@ def main(argv=None) -> None:
                         "high-wavenumber inputs, routed by the FFT peak of "
                         "the known forcing field")
     parser.add_argument("--k_threshold", type=float, default=5.5)
+    parser.add_argument("--expert_varying_highk", type=str, default=None,
+                        help="optional fourth expert for varying-theta "
+                        "high-wavenumber inputs (own threshold below)")
+    parser.add_argument("--k_threshold_varying", type=float, default=5.5)
     parser.add_argument("--symmetrize", action="store_true",
                         help="average each expert over the 8 square symmetries "
                         "(honest test-time ensembling)")
@@ -48,6 +52,11 @@ def main(argv=None) -> None:
             hm, hv, hn = resolve_expert(args.expert_const_highk)
             extra = dict(const_high_model=hm, const_high_variables=hv,
                          const_high_normalization=hn, k_threshold=args.k_threshold)
+        if args.expert_varying_highk is not None:
+            vhm, vhv, vhn = resolve_expert(args.expert_varying_highk)
+            extra.update(varying_high_model=vhm, varying_high_variables=vhv,
+                         varying_high_normalization=vhn,
+                         k_threshold_varying=args.k_threshold_varying)
         model = RegimeRouter(
             const_model=cm, const_variables=cv,
             varying_model=vm, varying_variables=vv,

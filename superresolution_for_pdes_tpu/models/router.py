@@ -74,15 +74,23 @@ class RegimeRouter:
     const_high_variables: Optional[Dict] = None
     const_high_normalization: str = "dataset"
     k_threshold: float = 5.5
+    # Optional fourth expert: varying-theta high-wavenumber arm with its own
+    # threshold (the in/out-of-sample varying cells favor different experts —
+    # measured round 3; the const and varying arms need not split at the
+    # same k).
+    varying_high_model: Any = None
+    varying_high_variables: Optional[Dict] = None
+    varying_high_normalization: str = "dataset"
+    k_threshold_varying: float = 5.5
 
     def regime_mask(self, theta_fine: jnp.ndarray) -> jnp.ndarray:
         """True where the sample's coefficient field is constant."""
         return jnp.std(theta_fine, axis=(-2, -1)) < self.tol
 
-    def highk_mask(self, f_fine: jnp.ndarray) -> jnp.ndarray:
+    def highk_mask(self, f_fine: jnp.ndarray, threshold: Optional[float] = None) -> jnp.ndarray:
         """True where the forcing's dominant wavenumber exceeds the threshold."""
         k1, k2 = estimate_wavenumbers(f_fine)
-        return jnp.maximum(k1, k2) >= self.k_threshold
+        return jnp.maximum(k1, k2) >= (self.k_threshold if threshold is None else threshold)
 
     def predict(self, data: Dict, stats: Optional[Any] = None,
                 symmetrize: bool = False) -> jnp.ndarray:
@@ -110,4 +118,11 @@ class RegimeRouter:
             )
             hi = self.highk_mask(data["f_fine"])[..., None, None]
             pred_const = jnp.where(hi, pred_hi, pred_const)
+        if self.varying_high_model is not None:
+            pred_var_hi = predict_dataset(
+                self.varying_high_model, self.varying_high_variables, data, stats,
+                normalization=self.varying_high_normalization, symmetrize=symmetrize,
+            )
+            hi_v = self.highk_mask(data["f_fine"], self.k_threshold_varying)[..., None, None]
+            pred_var = jnp.where(hi_v, pred_var_hi, pred_var)
         return jnp.where(const, pred_const, pred_var)

@@ -117,3 +117,40 @@ def test_wavenumber_estimation_and_highk_routing():
         np.asarray(routed[2:4]), np.asarray(predict_dataset(m_hi, v_hi, data)[2:4]), rtol=1e-6)
     np.testing.assert_allclose(
         np.asarray(routed[4:]), np.asarray(predict_dataset(m_var, v_var, data)[4:]), rtol=1e-6)
+
+def test_varying_highk_routing():
+    """The 4-expert router splits the varying arm at its own k threshold:
+    varying low-k samples go to the base varying expert, varying high-k to the
+    varying-high expert, and const samples are untouched by the varying split."""
+    import jax
+
+    from superresolution_for_pdes_tpu.data.generate import (
+        combine_datasets,
+        generate_test_dataset,
+    )
+    from superresolution_for_pdes_tpu.eval.single_level import predict_dataset
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+    from superresolution_for_pdes_tpu.models.router import RegimeRouter
+
+    tiny = dict(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
+    m_c, v_c = init_unet(jax.random.key(0), AttentionUNet(**tiny))
+    m_v, v_v = init_unet(jax.random.key(1), AttentionUNet(**tiny))
+    m_vh, v_vh = init_unet(jax.random.key(2), AttentionUNet(**tiny))
+    router = RegimeRouter(
+        m_c, v_c, m_v, v_v,
+        varying_high_model=m_vh, varying_high_variables=v_vh,
+        k_threshold_varying=5.5,
+    )
+
+    d_c = generate_test_dataset(jax.random.key(3), 2, (6.0, 8.0), constant_theta=True)
+    d_vlo = generate_test_dataset(jax.random.key(4), 2, (1.0, 4.0), constant_theta=False)
+    d_vhi = generate_test_dataset(jax.random.key(5), 2, (6.0, 8.0), constant_theta=False)
+    data = combine_datasets(combine_datasets(d_c, d_vlo), d_vhi)
+
+    routed = router.predict(data)
+    np.testing.assert_allclose(
+        np.asarray(routed[:2]), np.asarray(predict_dataset(m_c, v_c, data)[:2]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(routed[2:4]), np.asarray(predict_dataset(m_v, v_v, data)[2:4]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(routed[4:]), np.asarray(predict_dataset(m_vh, v_vh, data)[4:]), rtol=1e-6)
