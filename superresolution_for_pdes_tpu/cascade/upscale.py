@@ -30,6 +30,7 @@ from typing import Dict, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from superresolution_for_pdes_tpu.cascade.modal import apply_level_correction
 from superresolution_for_pdes_tpu.cascade.tiles import (
     split_tiles,
     split_tiles_overlapping,
@@ -275,7 +276,7 @@ def _cascade_program(
                 symmetrize=symmetrize, refine_cycles=refine_cycles,
             )
             if amp_levels is not None:
-                current = current * amp_levels[i]
+                current = apply_level_correction(current, amp_levels[i])
             outs.append(current)
         return tuple(outs)
 
@@ -317,7 +318,7 @@ def _level_program(
         out = _level_body(model, variables, current, f_next, theta_next, src,
                           coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
                           refine_cycles)
-        return out if amp is None else out * amp
+        return out if amp is None else apply_level_correction(out, amp)
     if stats_kind == "field":
         def one(args):
             cur, f, th, sf = args
@@ -325,7 +326,7 @@ def _level_program(
                                coarse_tile, overlap, tile_sharding, "field", symmetrize,
                                refine_cycles)
         out = jax.lax.map(one, (current, f_next, theta_next, stats_field))
-        return out if amp is None else out * amp
+        return out if amp is None else apply_level_correction(out, amp)
 
     def one(args):
         cur, f, th = args
@@ -334,7 +335,7 @@ def _level_program(
                            coarse_tile, overlap, tile_sharding, stats_kind, symmetrize,
                            refine_cycles)
     out = jax.lax.map(one, (current, f_next, theta_next))
-    return out if amp is None else out * amp
+    return out if amp is None else apply_level_correction(out, amp)
 
 
 def ml_cascade_stepwise(
@@ -388,7 +389,7 @@ def ml_cascade_stepwise(
             variables[min(i, len(variables) - 1)]
             if isinstance(variables, (list, tuple)) else variables
         )
-        amp = None if amp_levels is None else jnp.asarray(amp_levels)[i]
+        amp = None if amp_levels is None else amp_levels[i]
         t0 = time.perf_counter()
         current = _level_program(
             model, level_vars, current, data["f"][res], data["theta"][res],
@@ -448,7 +449,7 @@ def ml_cascade(
         tuple(data["u"][r] for r in resolutions) if stats_mode == "oracle" else None
     )
     if amp_levels is not None:
-        amp_levels = jnp.asarray(amp_levels)
+        amp_levels = tuple(jnp.asarray(a) for a in amp_levels)
     outs = _cascade_program(
         model, variables, data["u"][start_resolution], f_levels, theta_levels,
         u_truths, train_stats, resolutions, coarse_tile, overlap,

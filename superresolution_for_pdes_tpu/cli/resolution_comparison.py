@@ -36,6 +36,9 @@ def main(argv=None) -> None:
                         "self-generated training-distribution scenes (honest)")
     parser.add_argument("--amp_k", type=float, nargs=2, default=(6.0, 12.0))
     parser.add_argument("--amp_seed", type=int, default=100)
+    parser.add_argument("--amp_mode", choices=("scalar", "modal"), default="scalar",
+                        help="scalar: one amplitude per level; modal: radial "
+                        "log-band gains per level (cascade.modal)")
     parser.add_argument("--out", type=str, default="results/resolution_comparison")
     args = parser.parse_args(argv)
 
@@ -57,7 +60,7 @@ def main(argv=None) -> None:
         stats_mode=args.stats_mode, save_dir=args.out, tile_sharding=tile_sharding,
         overlap=args.overlap, train_stats=train_stats, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
-        amp_k=tuple(args.amp_k), amp_seed=args.amp_seed,
+        amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
     )
     for res in args.resolutions:
         m = result["metrics"]

@@ -37,6 +37,9 @@ def main(argv=None) -> None:
                         help="k-range of the calibration scenes (the training "
                         "cascade range by default)")
     parser.add_argument("--amp_seed", type=int, default=100)
+    parser.add_argument("--amp_mode", choices=("scalar", "modal"), default="scalar",
+                        help="scalar: one amplitude per level; modal: radial "
+                        "log-band gains per level (cascade.modal)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
@@ -53,10 +56,12 @@ def main(argv=None) -> None:
         k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
         train_stats=train_stats, overlap=args.overlap, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
-        amp_k=tuple(args.amp_k), amp_seed=args.amp_seed,
+        amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
     )
     if result.get("amp_levels"):
-        print("amp_levels:", [round(a, 4) for a in result["amp_levels"]])
+        print("amp_levels:", [(round(a, 4) if isinstance(a, float) else
+                               f"<{len(a)} band gains>")
+                              for a in result["amp_levels"]])
     for res, a in result["aggregate"].items():
         print(
             f"{res}x{res}: ML MAE {a['ml_mae_mean']:.3e}+/-{a['ml_mae_std']:.1e} | "

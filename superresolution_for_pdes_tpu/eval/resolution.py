@@ -43,6 +43,7 @@ def run_resolution_sweep(
     amp_calibrate: int = 0,
     amp_k: Tuple[float, float] = (6.0, 12.0),
     amp_seed: int = 100,
+    amp_mode: str = "scalar",
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``.
@@ -60,7 +61,12 @@ def run_resolution_sweep(
     if amp_calibrate > 0:
         from superresolution_for_pdes_tpu.cascade.upscale import calibrate_amplitude
 
-        amp_levels = calibrate_amplitude(
+        calibrate = calibrate_amplitude
+        if amp_mode == "modal":
+            from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
+
+            calibrate = calibrate_modal
+        amp_levels = calibrate(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
@@ -99,7 +105,9 @@ def run_resolution_sweep(
     result = {"metrics": metrics, "solutions": methods, "scene": scene,
               "k1": scene["k1"], "k2": scene["k2"], "stats_mode": stats_mode,
               "amp_levels": (None if amp_levels is None
-                             else [float(a) for a in amp_levels])}
+                             else [(float(a) if np.ndim(a) == 0
+                                    else np.asarray(a).tolist())
+                                   for a in amp_levels])}
 
     if save_dir is not None:
         save_dir = Path(save_dir)

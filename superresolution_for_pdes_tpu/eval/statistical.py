@@ -90,6 +90,7 @@ def run_statistical_benchmark(
     amp_calibrate: int = 0,
     amp_k: Tuple[float, float] = (6.0, 12.0),
     amp_seed: int = 100,
+    amp_mode: str = "scalar",
 ) -> Dict:
     resolutions = tuple(resolutions)
 
@@ -98,7 +99,11 @@ def run_statistical_benchmark(
     # the eval scenes below are untouched by it.
     amp_levels = None
     if amp_calibrate > 0:
-        amp_levels = calibrate_amplitude(
+        calibrate = calibrate_amplitude
+        if amp_mode == "modal":
+            from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
+            calibrate = calibrate_modal
+        amp_levels = calibrate(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
@@ -183,7 +188,9 @@ def run_statistical_benchmark(
               "k_range": list(k_range), "stats_mode": stats_mode,
               "refine_cycles": refine_cycles,
               "amp_levels": (None if amp_levels is None
-                             else [float(a) for a in amp_levels])}
+                             else [(float(a) if jnp.ndim(a) == 0
+                                    else np.asarray(a).tolist())
+                                   for a in amp_levels])}
 
     if save_dir is not None:
         save_dir = Path(save_dir)

@@ -327,3 +327,62 @@ def test_amplitude_calibration(scene):
     np.testing.assert_allclose(
         np.asarray(stepped[160]), np.asarray(fused[160]), rtol=1e-5, atol=1e-7
     )
+
+
+def test_modal_calibration(scene):
+    """Modal band gains: band_gains/apply_level_correction invert a known
+    band-diagonal distortion; calibrate_modal returns per-level gain vectors
+    the fused/stepwise cascades accept (and agree under); a scalar entry in
+    amp_levels still means plain amplitude."""
+    from superresolution_for_pdes_tpu.cascade.modal import (
+        apply_level_correction,
+        band_gains,
+        calibrate_modal,
+        radial_band_index,
+    )
+    from superresolution_for_pdes_tpu.cascade.upscale import (
+        ml_cascade,
+        ml_cascade_stepwise,
+    )
+
+    # synthetic: distort truth by a known per-band filter; the LS gains must
+    # recover its inverse on occupied bands and the correction restore truth
+    rng = np.random.default_rng(0)
+    truth = jnp.asarray(rng.normal(size=(3, 40, 40)), jnp.float32)
+    bpo = 4
+    g0 = jnp.asarray(0.5 + 0.1 * np.arange(12 * bpo), jnp.float32)
+    pred = apply_level_correction(truth, 1.0 / g0)
+    g = band_gains(pred, truth, bands_per_octave=bpo)
+    occupied = np.unique(np.asarray(radial_band_index(40, bpo)))
+    np.testing.assert_allclose(np.asarray(g)[occupied], np.asarray(g0)[occupied],
+                               rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(apply_level_correction(pred, g)),
+                               np.asarray(truth), rtol=1e-3, atol=1e-5)
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene32 = {
+        fld: {r: jnp.asarray(v, jnp.float32) for r, v in scene[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    gains = calibrate_modal(model, variables, jax.random.key(7), n_scenes=2,
+                            target_resolution=160, k_range=(6.0, 12.0),
+                            stats_mode="tile", bands_per_octave=bpo)
+    assert len(gains) == 2
+    assert all(np.isfinite(np.asarray(g)).all() for g in gains)
+
+    fused = ml_cascade(model, variables, scene32, 160, stats_mode="tile",
+                       amp_levels=gains)
+    stepped, _ = ml_cascade_stepwise(model, variables, scene32, 160,
+                                     stats_mode="tile", amp_levels=gains)
+    np.testing.assert_allclose(
+        np.asarray(stepped[160]), np.asarray(fused[160]), rtol=1e-5, atol=1e-7
+    )
+
+    # mixed entries: scalar at level 1, band gains at level 2
+    mixed = (jnp.asarray(1.5), gains[1])
+    out = ml_cascade(model, variables, scene32, 160, stats_mode="tile",
+                     amp_levels=mixed)
+    assert np.isfinite(np.asarray(out[160])).all()
