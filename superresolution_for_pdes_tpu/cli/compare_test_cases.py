@@ -26,11 +26,11 @@ def main(argv=None) -> None:
                         help="optional third expert for constant-theta "
                         "high-wavenumber inputs, routed by the FFT peak of "
                         "the known forcing field")
-    parser.add_argument("--k_threshold", type=float, default=5.5)
+    parser.add_argument("--k_threshold", type=float, default=6.0)
     parser.add_argument("--expert_varying_highk", type=str, default=None,
                         help="optional fourth expert for varying-theta "
                         "high-wavenumber inputs (own threshold below)")
-    parser.add_argument("--k_threshold_varying", type=float, default=5.5)
+    parser.add_argument("--k_threshold_varying", type=float, default=6.0)
     parser.add_argument("--symmetrize", action="store_true",
                         help="average each expert over the 8 square symmetries "
                         "(honest test-time ensembling)")

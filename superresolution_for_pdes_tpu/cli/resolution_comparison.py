@@ -37,8 +37,13 @@ def main(argv=None) -> None:
     parser.add_argument("--amp_k", type=float, nargs=2, default=(6.0, 12.0))
     parser.add_argument("--amp_seed", type=int, default=100)
     parser.add_argument("--amp_mode", choices=("scalar", "modal"), default="scalar",
-                        help="scalar: one amplitude per level; modal: radial "
+                        help="scalar: one amplitude per level; modal: "
                         "log-band gains per level (cascade.modal)")
+    parser.add_argument("--amp_kind", choices=("radial", "grid"), default="radial",
+                        help="modal band structure: radial log-bands or a "
+                        "separable log-grid over (i, j) octaves")
+    parser.add_argument("--amp_bpo", type=int, default=4,
+                        help="modal bands per octave")
     parser.add_argument("--out", type=str, default="results/resolution_comparison")
     args = parser.parse_args(argv)
 
@@ -61,6 +66,7 @@ def main(argv=None) -> None:
         overlap=args.overlap, train_stats=train_stats, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
+        amp_kind=args.amp_kind, amp_bpo=args.amp_bpo,
     )
     for res in args.resolutions:
         m = result["metrics"]

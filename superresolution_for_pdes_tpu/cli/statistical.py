@@ -38,8 +38,13 @@ def main(argv=None) -> None:
                         "cascade range by default)")
     parser.add_argument("--amp_seed", type=int, default=100)
     parser.add_argument("--amp_mode", choices=("scalar", "modal"), default="scalar",
-                        help="scalar: one amplitude per level; modal: radial "
+                        help="scalar: one amplitude per level; modal: "
                         "log-band gains per level (cascade.modal)")
+    parser.add_argument("--amp_kind", choices=("radial", "grid"), default="radial",
+                        help="modal band structure: radial log-bands or a "
+                        "separable log-grid over (i, j) octaves")
+    parser.add_argument("--amp_bpo", type=int, default=4,
+                        help="modal bands per octave")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
@@ -57,6 +62,7 @@ def main(argv=None) -> None:
         train_stats=train_stats, overlap=args.overlap, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
+        amp_kind=args.amp_kind, amp_bpo=args.amp_bpo,
     )
     if result.get("amp_levels"):
         print("amp_levels:", [(round(a, 4) if isinstance(a, float) else

@@ -44,6 +44,8 @@ def run_resolution_sweep(
     amp_k: Tuple[float, float] = (6.0, 12.0),
     amp_seed: int = 100,
     amp_mode: str = "scalar",
+    amp_kind: str = "radial",
+    amp_bpo: int = 4,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``.
@@ -61,16 +63,17 @@ def run_resolution_sweep(
     if amp_calibrate > 0:
         from superresolution_for_pdes_tpu.cascade.upscale import calibrate_amplitude
 
-        calibrate = calibrate_amplitude
+        calibrate, extra = calibrate_amplitude, {}
         if amp_mode == "modal":
             from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
 
             calibrate = calibrate_modal
+            extra = dict(kind=amp_kind, bands_per_octave=amp_bpo)
         amp_levels = calibrate(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
-            symmetrize=symmetrize,
+            symmetrize=symmetrize, **extra,
         )
 
     methods = {}

@@ -91,6 +91,8 @@ def run_statistical_benchmark(
     amp_k: Tuple[float, float] = (6.0, 12.0),
     amp_seed: int = 100,
     amp_mode: str = "scalar",
+    amp_kind: str = "radial",
+    amp_bpo: int = 4,
 ) -> Dict:
     resolutions = tuple(resolutions)
 
@@ -99,15 +101,16 @@ def run_statistical_benchmark(
     # the eval scenes below are untouched by it.
     amp_levels = None
     if amp_calibrate > 0:
-        calibrate = calibrate_amplitude
+        calibrate, extra = calibrate_amplitude, {}
         if amp_mode == "modal":
             from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
             calibrate = calibrate_modal
+            extra = dict(kind=amp_kind, bands_per_octave=amp_bpo)
         amp_levels = calibrate(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
-            symmetrize=symmetrize,
+            symmetrize=symmetrize, **extra,
         )
     scenes = solve_multi_resolution_batch(
         key, n_examples, resolutions=resolutions, k_range=k_range, time_solves=True

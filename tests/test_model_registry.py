@@ -96,6 +96,16 @@ def test_wavenumber_estimation_and_highk_routing():
         assert abs(float(k1[0]) - k1_true) <= 1.0
         assert abs(float(k2[0]) - k2_true) <= 1.0
 
+    # the sub-bin refinement must separate the in/out-of-sample boundary at
+    # k = 6 (compare_test_cases.py:599): no estimate from k < 6 may cross it
+    # and none from k > 6 may fall below
+    for k_true in (5.55, 5.75, 5.95):
+        k1, _ = estimate_wavenumbers(forcing_term(k_true, k_true, 40)[None])
+        assert float(k1[0]) < 6.0, (k_true, float(k1[0]))
+    for k_true in (6.05, 6.25, 6.45):
+        k1, _ = estimate_wavenumbers(forcing_term(k_true, k_true, 40)[None])
+        assert float(k1[0]) >= 6.0, (k_true, float(k1[0]))
+
     tiny = dict(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
     m_lo, v_lo = init_unet(jax.random.key(0), AttentionUNet(**tiny))
     m_var, v_var = init_unet(jax.random.key(1), AttentionUNet(**tiny))
