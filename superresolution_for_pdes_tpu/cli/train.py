@@ -5,6 +5,52 @@ from __future__ import annotations
 import argparse
 
 
+def _make_selffeed(args):
+    """Closure ``key -> selffeed tiles`` over the FROZEN teacher cascade.
+
+    Resolves the teacher once (optionally with a level-1 expert and a modal
+    calibration pass — the full deployment configuration) so per-epoch
+    streaming regeneration only pays the scene solves + one teacher cascade.
+    """
+    import types
+
+    import jax
+
+    from superresolution_for_pdes_tpu.cli import resolve_level_experts
+    from superresolution_for_pdes_tpu.data.generate import selffeed_cascade_dataset
+
+    if args.gen_selffeed_model is None:
+        raise SystemExit("--gen_selffeed_scenes requires --gen_selffeed_model")
+    ns = types.SimpleNamespace(
+        model_path_level1=args.gen_selffeed_model_level1, model_path_level=None)
+    sf_model, sf_vars, _ = resolve_level_experts(args.gen_selffeed_model, ns)
+    amp_levels = None
+    if args.gen_selffeed_amp > 0:
+        from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
+
+        amp_levels = calibrate_modal(
+            sf_model, sf_vars, jax.random.key(100),
+            n_scenes=args.gen_selffeed_amp,
+            target_resolution=args.gen_selffeed_finest,
+            k_range=tuple(args.gen_selffeed_k),
+            stats_mode=args.gen_selffeed_stats,
+            kind="grid",
+        )
+
+    def gen(key):
+        return selffeed_cascade_dataset(
+            sf_model, sf_vars, key, args.gen_selffeed_scenes,
+            tiles_per_level=args.gen_tiles_per_level,
+            k_range=tuple(args.gen_selffeed_k),
+            finest=args.gen_selffeed_finest,
+            stats_mode=args.gen_selffeed_stats,
+            amp_levels=amp_levels,
+            harvest_from=args.gen_selffeed_harvest_from,
+        )
+
+    return gen
+
+
 def main(argv=None) -> None:
     from superresolution_for_pdes_tpu.cli import enable_compilation_cache
 
@@ -43,11 +89,25 @@ def main(argv=None) -> None:
         "input mismatch at depth); requires --gen_selffeed_model",
     )
     parser.add_argument("--gen_selffeed_model", type=str, default=None)
+    parser.add_argument("--gen_selffeed_model_level1", type=str, default=None,
+                        help="optional level-1 expert for the frozen teacher "
+                        "cascade (deploy-matched selffeed inputs)")
     parser.add_argument("--gen_selffeed_k", type=float, nargs=2, default=(8.0, 12.0))
     parser.add_argument("--gen_selffeed_stats", default="tile",
                         choices=["oracle", "scene", "train", "tile"],
                         help="stats mode the self-feeding cascade runs with — "
                         "match the deployment configuration")
+    parser.add_argument("--gen_selffeed_finest", type=int, default=640,
+                        help="finest resolution of the selffeed scenes")
+    parser.add_argument("--gen_selffeed_harvest_from", type=int, default=None,
+                        help="only harvest pairs whose coarse resolution is "
+                        ">= this (e.g. 80 with finest 160 = level-2 tiles "
+                        "with predicted-80 inputs only)")
+    parser.add_argument("--gen_selffeed_amp", type=int, default=0,
+                        help="modal-calibrate the frozen teacher on N self-"
+                        "generated scenes first (grid kind, 4 bands/octave, "
+                        "the deployment correction) so selffeed inputs match "
+                        "the corrected deployment cascade")
     parser.add_argument(
         "--gen_stream", action="store_true",
         help="regenerate the training split on-device with a fresh key every "
@@ -140,21 +200,10 @@ def main(argv=None) -> None:
             cascade_coarsest=args.gen_cascade_coarsest,
         )
         if args.gen_selffeed_scenes > 0:
-            if args.gen_selffeed_model is None:
-                raise SystemExit("--gen_selffeed_scenes requires --gen_selffeed_model")
-            from superresolution_for_pdes_tpu.cli import resolve_model
-            from superresolution_for_pdes_tpu.data.generate import (
-                combine_datasets,
-                selffeed_cascade_dataset,
-            )
+            selffeed = _make_selffeed(args)(
+                jax.random.fold_in(jax.random.key(args.gen_seed), 7))
+            from superresolution_for_pdes_tpu.data.generate import combine_datasets
 
-            sf_model, sf_vars, _ = resolve_model(args.gen_selffeed_model)
-            selffeed = selffeed_cascade_dataset(
-                sf_model, sf_vars, jax.random.fold_in(jax.random.key(args.gen_seed), 7),
-                args.gen_selffeed_scenes, tiles_per_level=args.gen_tiles_per_level,
-                k_range=tuple(args.gen_selffeed_k),
-                stats_mode=args.gen_selffeed_stats,
-            )
             print(f"  + {int(selffeed['u_fine'].shape[0])} self-feeding cascade tiles "
                   f"(model {args.gen_selffeed_model}, stats {args.gen_selffeed_stats})")
             dataset = combine_datasets(dataset, selffeed)
@@ -167,14 +216,19 @@ def main(argv=None) -> None:
 
     dataset_generator = None
     if args.gen_stream:
-        if args.gen_selffeed_scenes > 0:
-            raise SystemExit("--gen_stream does not compose with selffeed tiles")
         import jax
 
-        from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
+        from superresolution_for_pdes_tpu.data.generate import (
+            combine_datasets,
+            generate_mixed_dataset,
+        )
+
+        selffeed_gen = (
+            _make_selffeed(args) if args.gen_selffeed_scenes > 0 else None
+        )
 
         def dataset_generator(key):
-            return generate_mixed_dataset(
+            ds = generate_mixed_dataset(
                 key,
                 n_standard=args.gen_standard,
                 n_subdomain=args.gen_subdomain,
@@ -187,6 +241,9 @@ def main(argv=None) -> None:
                 cascade_finest=args.gen_cascade_finest,
                 cascade_coarsest=args.gen_cascade_coarsest,
             )
+            if selffeed_gen is not None:
+                ds = combine_datasets(ds, selffeed_gen(jax.random.fold_in(key, 7)))
+            return ds
 
     run_dir = create_run_dir(args.results, args.prefix)
     mesh = data_mesh() if args.data_parallel else None

@@ -460,6 +460,8 @@ def selffeed_cascade_dataset(
     stats_mode: str = "scene",
     dtype=jnp.float32,
     refine_iters: int = 1,
+    amp_levels=None,
+    harvest_from: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Self-feeding cascade tiles: coarse inputs are the given model's OWN
     cascade predictions (scheduled-sampling analogue).
@@ -470,6 +472,14 @@ def selffeed_cascade_dataset(
     fresh scenes and harvest (prediction @ r, exact @ 2r) window pairs, so a
     fine-tuned model learns to correct its own error distribution at depth.
     Targets stay exact; only inputs are self-fed.
+
+    ``variables`` may be a per-level expert tuple and ``amp_levels`` the
+    per-level (scalar or modal) corrections — pass the FROZEN deployment
+    cascade here to train a deeper-level specialist on exactly the corrected
+    prediction distribution it will see at inference (the round-3 matched-
+    level training recipe).  ``harvest_from`` restricts harvesting to pairs
+    whose coarse resolution is >= that value (e.g. ``finest=160,
+    harvest_from=80`` yields only 80->160 tiles with predicted-80 inputs).
     """
     from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
 
@@ -485,12 +495,22 @@ def selffeed_cascade_dataset(
         "f": fields["f"],
         "theta": fields["theta"],
     }
-    preds = ml_cascade(model, variables, scene, finest, stats_mode=stats_mode)
-    # input source at each level: exact at the cascade start, the model's own
-    # prediction everywhere deeper.
+    # the deepest coarse INPUT needed is one level above the finest target —
+    # never run the teacher cascade past it (and not at all for a single pair,
+    # whose coarse input is the exact start-resolution solve)
     u_inputs = {resolutions[0]: fields["u"][resolutions[0]]}
-    for res in resolutions[1:]:
-        u_inputs[res] = preds[res]
+    if resolutions[-2] > resolutions[0]:
+        preds = ml_cascade(model, variables, scene, resolutions[-2],
+                           stats_mode=stats_mode, amp_levels=amp_levels)
+        for res in resolutions[1:-1]:
+            u_inputs[res] = preds[res]
+    if harvest_from is not None:
+        harvested = [r for r in resolutions if r >= harvest_from]
+        if len(harvested) < 2:
+            raise ValueError(
+                f"harvest_from={harvest_from} leaves no (coarse, fine) pair "
+                f"in resolutions {resolutions}")
+        resolutions = harvested
     return _tile_pairs_from_levels(
         tile_key, u_inputs, fields["u"], fields["f"], fields["theta"],
         resolutions, tiles_per_level, k1, k2,

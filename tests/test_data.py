@@ -221,6 +221,41 @@ def test_selffeed_cascade_dataset_uses_model_predictions():
     assert np.abs(np.asarray(ds["u_coarse"][4:]) - np.asarray(exact["u_coarse"][4:])).max() > 0
 
 
+def test_selffeed_harvest_filter_experts_and_modal_teacher():
+    """Matched-level training data: harvest_from keeps only the deep pair,
+    the teacher accepts per-level expert variables and modal gains, and the
+    harvested inputs reflect the modal correction."""
+    from superresolution_for_pdes_tpu.cascade.modal import N_OCTAVES
+    from superresolution_for_pdes_tpu.data.generate import selffeed_cascade_dataset
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4)),
+    )
+    _, variables_b = init_unet(
+        jax.random.key(1),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4)),
+    )
+    gains = (jnp.full((N_OCTAVES * 4, N_OCTAVES * 4), 0.9, jnp.float32),)
+    ds = selffeed_cascade_dataset(
+        model, (variables, variables_b), jax.random.key(5), 2, tiles_per_level=2,
+        finest=160, stats_mode="tile", amp_levels=gains, harvest_from=80,
+    )
+    # 2 scenes x 2 tiles x ONE level (the 80->160 pair only)
+    assert ds["u_fine"].shape == (4, 40, 40)
+    assert ds["u_coarse"].shape == (4, 20, 20)
+    assert np.isfinite(np.asarray(ds["u_coarse"])).all()
+    # the modal gains change the harvested inputs
+    ds_nogain = selffeed_cascade_dataset(
+        model, (variables, variables_b), jax.random.key(5), 2, tiles_per_level=2,
+        finest=160, stats_mode="tile", harvest_from=80,
+    )
+    assert np.abs(np.asarray(ds["u_coarse"]) - np.asarray(ds_nogain["u_coarse"])).max() > 0
+    # identical exact targets either way
+    np.testing.assert_array_equal(np.asarray(ds["u_fine"]), np.asarray(ds_nogain["u_fine"]))
+
+
 def test_cascade_coarsest_selects_levels():
     """coarsest/finest restrict generated cascade tiles to chosen levels: with
     coarsest=80, finest=160 every tile comes from the 80->160 pair only."""
