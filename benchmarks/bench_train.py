@@ -99,6 +99,43 @@ def main() -> None:
         print(json.dumps({"metric": "train_mfu_vs_v5e_bf16_peak",
                           "value": None, "note": repr(exc)}))
 
+    # --- 1b) bf16/b256 variant (round-3 validated recipe: accuracy within
+    # +-5% of f32 on the honest cascade, reports/statistical_bf16.txt) ---
+    model16, variables16 = init_unet(
+        jax.random.key(0), AttentionUNet(dtype=jnp.bfloat16))
+    cfg16 = TrainConfig(batch_size=256, dtype="bfloat16", learning_rate=6e-4)
+    tx16 = make_optimizer(cfg16)
+    state16 = TrainState(
+        params=variables16["params"], batch_stats=variables16["batch_stats"],
+        opt_state=tx16.init(variables16["params"]), step=jnp.zeros((), jnp.int32),
+    )
+    arrays16 = prepare_arrays(dataset, stats, jnp.bfloat16)
+    train_epoch16, _ = make_train_fns(model16, tx16, stats, physics_weight=0.1)
+    idx16 = epoch_batch_indices(jax.random.key(1), 1600, cfg16.batch_size)
+    state16, loss16 = train_epoch16(state16, arrays16, idx16)
+    float(loss16)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        state16, loss16 = train_epoch16(state16, arrays16, idx16)
+        float(loss16)
+    per_epoch16 = (time.perf_counter() - t0) / reps
+    samples_per_sec16 = 1600 / per_epoch16
+    mfu16 = None
+    try:
+        ca = train_epoch16.lower(state16, arrays16, idx16).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops16 = float(ca.get("flops", 0.0))
+        if flops16 > 0:
+            mfu16 = flops16 / per_epoch16 / 197e12
+    except Exception:
+        pass
+    print(json.dumps({
+        "metric": "train_samples_per_sec_b256_bf16",
+        "value": round(samples_per_sec16, 1), "unit": "samples/sec",
+        "mfu_vs_v5e_bf16_peak": round(mfu16, 4) if mfu16 else None,
+    }))
+
     # --- 2) cold-start wall-clock to reference-quality val ---
     dataset = generate_enhanced_dataset(jax.random.key(42), 1000, 1000)
     cfg = TrainConfig(num_epochs=args.epochs, checkpoint_interval=10**9)
@@ -123,6 +160,10 @@ def main() -> None:
         Path(args.out).write_text(json.dumps({
             "train_samples_per_sec": samples_per_sec,
             "train_mfu_vs_v5e_bf16_peak": mfu,
+            "train_samples_per_sec_b256_bf16": samples_per_sec16,
+            "train_mfu_b256_bf16": mfu16,
+            "bf16_accuracy": "cascade ratios within +-5% of f32 "
+                             "(reports/statistical_bf16.txt)",
             "epoch_seconds_published_config": per_epoch,
             "wallclock_to_convergence_sec": elapsed,
             "best_val": hist["best_val_loss"],
