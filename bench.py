@@ -9,6 +9,13 @@ Baseline for ``vs_baseline``: the BASELINE.json north-star target of 5,000
 batched 40x40 solves/sec.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Protocol (pinned): batch 8192, f32, theta==1, k~U(0.5,12) seed 0; rep loop
+INSIDE one jitted program with a scalar checksum fetch (remote-tunnel
+``block_until_ready`` can return before device completion). Measured values
+vary 4.7M-6.9M solves/sec ACROSS tunnel sessions (driver vs interactive) —
+that spread is session transport variance, not code regression; compare
+within one session.
 """
 
 from __future__ import annotations

@@ -18,7 +18,9 @@ def main(argv=None) -> None:
                         "routed expert deployment instead of one checkpoint")
     parser.add_argument("--expert_varying", type=str, default=None)
     parser.add_argument("--expert_const_highk", type=str, default=None)
-    parser.add_argument("--k_threshold", type=float, default=5.5)
+    parser.add_argument("--k_threshold", type=float, default=6.0)
+    parser.add_argument("--expert_varying_highk", type=str, default=None)
+    parser.add_argument("--k_threshold_varying", type=float, default=6.0)
     parser.add_argument("--n_samples", type=int, default=5)
     parser.add_argument("--k", type=float, nargs=2, default=(5.0, 8.0))
     parser.add_argument("--varying_theta", action="store_true",
@@ -43,6 +45,11 @@ def main(argv=None) -> None:
             hm, hv, hn = resolve_expert(args.expert_const_highk)
             extra = dict(const_high_model=hm, const_high_variables=hv,
                          const_high_normalization=hn, k_threshold=args.k_threshold)
+        if args.expert_varying_highk is not None:
+            wm, wv, wn = resolve_expert(args.expert_varying_highk)
+            extra.update(varying_high_model=wm, varying_high_variables=wv,
+                         varying_high_normalization=wn,
+                         k_threshold_varying=args.k_threshold_varying)
         model = RegimeRouter(
             const_model=cm, const_variables=cv,
             varying_model=vm, varying_variables=vv,
