@@ -140,7 +140,10 @@ def calibrate_modal(
     from superresolution_for_pdes_tpu.cascade.multires import (
         solve_multi_resolution_batch,
     )
-    from superresolution_for_pdes_tpu.cascade.upscale import _level_program
+    from superresolution_for_pdes_tpu.cascade.upscale import (
+        _level_overlap,
+        _level_program,
+    )
 
     resolutions = []
     res = start_resolution
@@ -169,7 +172,8 @@ def calibrate_modal(
         pred = _level_program(
             model, level_vars, current, scenes["f"][res], scenes["theta"][res],
             stats_field, train_stats if stats_kind == "precomputed" else None,
-            coarse_tile, overlap, None, stats_kind, symmetrize, 0, None,
+            coarse_tile, _level_overlap(overlap, i), None, stats_kind,
+            symmetrize, 0, None,
         )
         g = band_gains(pred, scenes["u"][res], bands_per_octave, kind)
         gains.append(g)

@@ -118,6 +118,18 @@ def _refine(u: jnp.ndarray, f: jnp.ndarray, theta: jnp.ndarray,
     return u
 
 
+def _level_overlap(overlap, i: int) -> bool:
+    """Per-level overlap selection: ``overlap`` may be one bool for every
+    level or a tuple with one bool per level (trailing levels reuse the last
+    entry, mirroring the per-level ``variables`` convention).  Measured
+    (round 3): feathered overlap wins at the near-Nyquist shallow levels but
+    loses at depth once a matched level-2 expert is in the chain, so the
+    champion runs a mixed schedule."""
+    if isinstance(overlap, (list, tuple)):
+        return bool(overlap[min(i, len(overlap) - 1)])
+    return bool(overlap)
+
+
 def _level_body(
     model,
     variables: Dict,
@@ -271,7 +283,7 @@ def _cascade_program(
             )
             current = _level_body(
                 model, level_vars, current, fs[i], thetas[i], stats_source,
-                coarse_tile=coarse_tile, overlap=overlap,
+                coarse_tile=coarse_tile, overlap=_level_overlap(overlap, i),
                 tile_sharding=tile_sharding, stats_kind=kind,
                 symmetrize=symmetrize, refine_cycles=refine_cycles,
             )
@@ -394,8 +406,8 @@ def ml_cascade_stepwise(
         current = _level_program(
             model, level_vars, current, data["f"][res], data["theta"][res],
             stats_field, train_stats if kind == "precomputed" else None,
-            coarse_tile, overlap, tile_sharding, kind, symmetrize, refine_cycles,
-            amp,
+            coarse_tile, _level_overlap(overlap, i), tile_sharding, kind,
+            symmetrize, refine_cycles, amp,
         )
         float(jnp.sum(current))
         times[res] = time.perf_counter() - t0
@@ -450,6 +462,8 @@ def ml_cascade(
     )
     if amp_levels is not None:
         amp_levels = tuple(jnp.asarray(a) for a in amp_levels)
+    if isinstance(overlap, list):
+        overlap = tuple(overlap)  # static jit arg must be hashable
     outs = _cascade_program(
         model, variables, data["u"][start_resolution], f_levels, theta_levels,
         u_truths, train_stats, resolutions, coarse_tile, overlap,
@@ -569,7 +583,7 @@ def calibrate_amplitude(
         pred = _level_program(
             model, level_vars, current, scenes["f"][res], scenes["theta"][res],
             stats_field, train_stats if kind == "precomputed" else None,
-            coarse_tile, overlap, None, kind, symmetrize, 0, None,
+            coarse_tile, _level_overlap(overlap, i), None, kind, symmetrize, 0, None,
         )
         truth = scenes["u"][res]
         ratio = jnp.std(truth, axis=(-2, -1)) / jnp.maximum(

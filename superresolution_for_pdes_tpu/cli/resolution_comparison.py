@@ -25,6 +25,10 @@ def main(argv=None) -> None:
                         help="shard the tile axis over all available devices")
     parser.add_argument("--overlap", action="store_true",
                         help="half-tile overlapping windows with feathered blending")
+    parser.add_argument("--overlap_levels", type=int, nargs="+", default=None,
+                        metavar="0/1", help="per-level overlap schedule "
+                        "(one 0/1 per level, trailing levels reuse the last; "
+                        "overrides --overlap)")
     parser.add_argument("--symmetrize", action="store_true",
                         help="average the model over the 8 square symmetries "
                         "(honest test-time ensembling; one 8x-larger batch)")
@@ -48,6 +52,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     model, variables, train_stats = resolve_level_experts(args.model_path, args)
+    overlap = (tuple(bool(v) for v in args.overlap_levels)
+               if args.overlap_levels is not None else args.overlap)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
     tile_sharding = None
@@ -63,7 +69,7 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         resolutions=tuple(args.resolutions), k_range=tuple(args.k),
         stats_mode=args.stats_mode, save_dir=args.out, tile_sharding=tile_sharding,
-        overlap=args.overlap, train_stats=train_stats, symmetrize=args.symmetrize,
+        overlap=overlap, train_stats=train_stats, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
         amp_kind=args.amp_kind, amp_bpo=args.amp_bpo,

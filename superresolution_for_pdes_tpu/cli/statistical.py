@@ -22,6 +22,10 @@ def main(argv=None) -> None:
     parser.add_argument("--stats_mode", choices=["oracle", "scene", "train", "tile"], default="oracle")
     parser.add_argument("--overlap", action="store_true",
                         help="half-tile-overlapping windows with feathered blending")
+    parser.add_argument("--overlap_levels", type=int, nargs="+", default=None,
+                        metavar="0/1", help="per-level overlap schedule "
+                        "(one 0/1 per level, trailing levels reuse the last; "
+                        "overrides --overlap)")
     parser.add_argument("--symmetrize", action="store_true",
                         help="average the model over the 8 square symmetries "
                         "(honest test-time ensembling; 8x model FLOPs)")
@@ -50,6 +54,8 @@ def main(argv=None) -> None:
     args = parser.parse_args(argv)
 
     model, variables, train_stats = resolve_level_experts(args.model_path, args)
+    overlap = (tuple(bool(v) for v in args.overlap_levels)
+               if args.overlap_levels is not None else args.overlap)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
 
@@ -59,7 +65,7 @@ def main(argv=None) -> None:
         model, variables, jax.random.key(args.seed),
         n_examples=args.n_examples, resolutions=tuple(args.resolutions),
         k_range=tuple(args.k), stats_mode=args.stats_mode, save_dir=args.out,
-        train_stats=train_stats, overlap=args.overlap, symmetrize=args.symmetrize,
+        train_stats=train_stats, overlap=overlap, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
         amp_kind=args.amp_kind, amp_bpo=args.amp_bpo,

@@ -52,3 +52,29 @@ def test_cascade_overlap_mode_runs(rng):
     out = ml_multi_level_upscale(model, variables, scene, 160, overlap=True)
     assert out.shape == (160, 160)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_cascade_per_level_overlap_schedule():
+    """A per-level overlap tuple applies each level's own mode: the mixed
+    schedule's level-1 output matches the all-overlap cascade at 80 and its
+    level-2 step matches the no-overlap cascade fed the same 80 input."""
+    from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene = solve_multi_resolution(jax.random.key(1), resolutions=(80, 160))
+    mixed = ml_cascade(model, variables, scene, 160, stats_mode="tile",
+                       overlap=(True, False))
+    ovl = ml_cascade(model, variables, scene, 160, stats_mode="tile", overlap=True)
+    np.testing.assert_allclose(np.asarray(mixed[80]), np.asarray(ovl[80]),
+                               rtol=0, atol=0)
+    assert np.abs(np.asarray(mixed[160]) - np.asarray(ovl[160])).max() > 0
+    # level 2 without overlap, fed the mixed cascade's own 80 field
+    flat = ml_cascade(model, variables,
+                      {"u": {80: mixed[80]}, "f": {160: scene["f"][160]},
+                       "theta": {160: scene["theta"][160]}},
+                      160, stats_mode="tile", start_resolution=80, overlap=False)
+    np.testing.assert_allclose(np.asarray(mixed[160]), np.asarray(flat[160]),
+                               rtol=0, atol=0)
