@@ -24,6 +24,8 @@ def _make_selffeed(args):
     ns = types.SimpleNamespace(
         model_path_level1=args.gen_selffeed_model_level1, model_path_level=None)
     sf_model, sf_vars, _ = resolve_level_experts(args.gen_selffeed_model, ns)
+    overlap = (tuple(bool(v) for v in args.gen_selffeed_overlap_levels)
+               if args.gen_selffeed_overlap_levels is not None else False)
     amp_levels = None
     if args.gen_selffeed_amp > 0:
         from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
@@ -35,6 +37,7 @@ def _make_selffeed(args):
             k_range=tuple(args.gen_selffeed_k),
             stats_mode=args.gen_selffeed_stats,
             kind="grid",
+            overlap=overlap,
         )
 
     def gen(key):
@@ -46,6 +49,7 @@ def _make_selffeed(args):
             stats_mode=args.gen_selffeed_stats,
             amp_levels=amp_levels,
             harvest_from=args.gen_selffeed_harvest_from,
+            overlap=overlap,
         )
 
     return gen
@@ -103,6 +107,10 @@ def main(argv=None) -> None:
                         help="only harvest pairs whose coarse resolution is "
                         ">= this (e.g. 80 with finest 160 = level-2 tiles "
                         "with predicted-80 inputs only)")
+    parser.add_argument("--gen_selffeed_overlap_levels", type=int, nargs="+",
+                        default=None, metavar="0/1",
+                        help="per-level overlap schedule for the frozen "
+                        "teacher cascade (match the deployment schedule)")
     parser.add_argument("--gen_selffeed_amp", type=int, default=0,
                         help="modal-calibrate the frozen teacher on N self-"
                         "generated scenes first (grid kind, 4 bands/octave, "

@@ -462,6 +462,7 @@ def selffeed_cascade_dataset(
     refine_iters: int = 1,
     amp_levels=None,
     harvest_from: int | None = None,
+    overlap=False,
 ) -> Dict[str, jnp.ndarray]:
     """Self-feeding cascade tiles: coarse inputs are the given model's OWN
     cascade predictions (scheduled-sampling analogue).
@@ -477,7 +478,9 @@ def selffeed_cascade_dataset(
     per-level (scalar or modal) corrections — pass the FROZEN deployment
     cascade here to train a deeper-level specialist on exactly the corrected
     prediction distribution it will see at inference (the round-3 matched-
-    level training recipe).  ``harvest_from`` restricts harvesting to pairs
+    level training recipe); ``overlap`` (bool or per-level schedule) makes the
+    teacher tile with feathered overlap, matching an overlap deployment.
+    ``harvest_from`` restricts harvesting to pairs
     whose coarse resolution is >= that value (e.g. ``finest=160,
     harvest_from=80`` yields only 80->160 tiles with predicted-80 inputs).
     """
@@ -501,7 +504,9 @@ def selffeed_cascade_dataset(
     u_inputs = {resolutions[0]: fields["u"][resolutions[0]]}
     if resolutions[-2] > resolutions[0]:
         preds = ml_cascade(model, variables, scene, resolutions[-2],
-                           stats_mode=stats_mode, amp_levels=amp_levels)
+                           stats_mode=stats_mode, amp_levels=amp_levels,
+                           overlap=tuple(overlap) if isinstance(overlap, list)
+                           else overlap)
         for res in resolutions[1:-1]:
             u_inputs[res] = preds[res]
     if harvest_from is not None:

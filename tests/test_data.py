@@ -254,6 +254,14 @@ def test_selffeed_harvest_filter_experts_and_modal_teacher():
     assert np.abs(np.asarray(ds["u_coarse"]) - np.asarray(ds_nogain["u_coarse"])).max() > 0
     # identical exact targets either way
     np.testing.assert_array_equal(np.asarray(ds["u_fine"]), np.asarray(ds_nogain["u_fine"]))
+    # an overlap-tiling teacher produces different (finite) inputs again
+    ds_ovl = selffeed_cascade_dataset(
+        model, (variables, variables_b), jax.random.key(5), 2, tiles_per_level=2,
+        finest=160, stats_mode="tile", harvest_from=80, overlap=(True,),
+    )
+    assert np.isfinite(np.asarray(ds_ovl["u_coarse"])).all()
+    assert np.abs(np.asarray(ds_ovl["u_coarse"]) - np.asarray(ds_nogain["u_coarse"])).max() > 0
+    np.testing.assert_array_equal(np.asarray(ds_ovl["u_fine"]), np.asarray(ds_nogain["u_fine"]))
 
 
 def test_cascade_coarsest_selects_levels():
