@@ -22,7 +22,8 @@ def _make_selffeed(args):
     if args.gen_selffeed_model is None:
         raise SystemExit("--gen_selffeed_scenes requires --gen_selffeed_model")
     ns = types.SimpleNamespace(
-        model_path_level1=args.gen_selffeed_model_level1, model_path_level=None)
+        model_path_level1=args.gen_selffeed_model_level1,
+        model_path_level=args.gen_selffeed_model_level)
     sf_model, sf_vars, _ = resolve_level_experts(args.gen_selffeed_model, ns)
     overlap = (tuple(bool(v) for v in args.gen_selffeed_overlap_levels)
                if args.gen_selffeed_overlap_levels is not None else False)
@@ -96,6 +97,10 @@ def main(argv=None) -> None:
     parser.add_argument("--gen_selffeed_model_level1", type=str, default=None,
                         help="optional level-1 expert for the frozen teacher "
                         "cascade (deploy-matched selffeed inputs)")
+    parser.add_argument("--gen_selffeed_model_level", nargs=2, action="append",
+                        metavar=("LEVEL", "PATH"), default=None,
+                        help="general per-level teacher expert (repeatable), "
+                        "mirroring the eval harnesses' --model_path_level")
     parser.add_argument("--gen_selffeed_k", type=float, nargs=2, default=(8.0, 12.0))
     parser.add_argument("--gen_selffeed_stats", default="tile",
                         choices=["oracle", "scene", "train", "tile"],
