@@ -1,0 +1,64 @@
+"""Deployment bundles and the upscale CLI."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from superresolution_for_pdes_tpu.cascade.multires import solve_multi_resolution
+from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
+from superresolution_for_pdes_tpu.deploy import load_bundle, run_bundle, save_bundle
+from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+
+TINY = dict(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
+
+
+def test_bundle_roundtrip_matches_live_cascade(tmp_path):
+    model, v0 = init_unet(jax.random.key(0), AttentionUNet(**TINY))
+    _, v1 = init_unet(jax.random.key(1), AttentionUNet(**TINY))
+    gains = (jnp.full((48, 48), 0.9, jnp.float32), jnp.ones((48, 48), jnp.float32))
+    cfg = dict(name="attention_unet", **TINY)
+    bundle = tmp_path / "bundle"
+    save_bundle(bundle, cfg, (v0, v1), amp_levels=gains, overlap=(True, False),
+                stats_mode="tile")
+    model2, vars2, gains2, manifest = load_bundle(bundle)
+    assert manifest["overlap"] == (True, False)
+    assert len(vars2) == 2 and len(gains2) == 2
+    np.testing.assert_array_equal(np.asarray(gains2[0]), np.asarray(gains[0]))
+
+    scene = solve_multi_resolution(jax.random.key(2), resolutions=(80, 160))
+    data = {"u": {40: scene["u"][40]}, "f": scene["f"], "theta": scene["theta"]}
+    live = ml_cascade(model, (v0, v1), data, 160, stats_mode="tile",
+                      overlap=(True, False), amp_levels=gains)
+    from_bundle = run_bundle(bundle, data, 160)
+    np.testing.assert_allclose(np.asarray(from_bundle[160]), np.asarray(live[160]),
+                               rtol=0, atol=1e-6)
+    # deduplication: one variables pytree shared by every level -> one dir
+    save_bundle(tmp_path / "b2", cfg, (v0, v0, v0), stats_mode="tile")
+    m2 = json.loads((tmp_path / "b2" / "manifest.json").read_text())
+    assert m2["variables_files"] == ["level0", "level0", "level0"]
+
+
+def test_upscale_cli_end_to_end(tmp_path):
+    """Assemble-save-run and bundle-run through the public CLI."""
+    from superresolution_for_pdes_tpu.cli.upscale import main
+    from superresolution_for_pdes_tpu.train.checkpoint import save_checkpoint
+
+    model, variables = init_unet(jax.random.key(0), AttentionUNet(**TINY))
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    save_checkpoint(run_dir / "best_model",
+                    {"params": variables["params"],
+                     "batch_stats": variables["batch_stats"]})
+    (run_dir / "config.json").write_text(json.dumps({"model": "attention_unet"}))
+    # NOTE: config.json cannot express the tiny widths, so drive with the
+    # bundle path (which stores the full model_config) after a manual save.
+    cfg = dict(name="attention_unet", **TINY)
+    save_bundle(tmp_path / "bundle", cfg, variables, stats_mode="tile")
+    main(["--bundle", str(tmp_path / "bundle"), "--target", "80",
+          "--k", "3", "4", "--out", str(tmp_path / "out")])
+    out = np.load(tmp_path / "out" / "ml_80x80.npy")
+    assert out.shape == (80, 80) and np.isfinite(out).all()
+    metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
+    assert "80" in metrics or 80 in metrics
