@@ -16,6 +16,10 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="Multi-level cascade resolution sweep")
     parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--bundle", type=str, default=None,
+                        help="run a saved deployment bundle: model, per-level "
+                        "experts, modal gains, overlap schedule and stats "
+                        "mode all come from its manifest")
     add_level_expert_flags(parser)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
     parser.add_argument("--k", type=float, nargs=2, default=(10.0, 11.0))
@@ -51,9 +55,19 @@ def main(argv=None) -> None:
     parser.add_argument("--out", type=str, default="results/resolution_comparison")
     args = parser.parse_args(argv)
 
-    model, variables, train_stats = resolve_level_experts(args.model_path, args)
-    overlap = (tuple(bool(v) for v in args.overlap_levels)
-               if args.overlap_levels is not None else args.overlap)
+    amp_levels = None
+    if args.bundle is not None:
+        from superresolution_for_pdes_tpu.deploy import load_bundle
+
+        model, variables, amp_levels, manifest = load_bundle(args.bundle)
+        train_stats = None
+        overlap = manifest["overlap"]
+        args.stats_mode = manifest["stats_mode"]
+        args.amp_calibrate = 0
+    else:
+        model, variables, train_stats = resolve_level_experts(args.model_path, args)
+        overlap = (tuple(bool(v) for v in args.overlap_levels)
+                   if args.overlap_levels is not None else args.overlap)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
     tile_sharding = None
@@ -72,7 +86,7 @@ def main(argv=None) -> None:
         overlap=overlap, train_stats=train_stats, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
-        amp_kind=args.amp_kind, amp_bpo=args.amp_bpo,
+        amp_kind=args.amp_kind, amp_bpo=args.amp_bpo, amp_levels=amp_levels,
     )
     for res in args.resolutions:
         m = result["metrics"]

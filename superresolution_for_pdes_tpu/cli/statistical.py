@@ -15,6 +15,10 @@ def main(argv=None) -> None:
     enable_compilation_cache()
     parser = argparse.ArgumentParser(description="N-example statistical benchmark with timings")
     parser.add_argument("--model_path", type=str, default=None)
+    parser.add_argument("--bundle", type=str, default=None,
+                        help="run a saved deployment bundle: model, per-level "
+                        "experts, modal gains, overlap schedule and stats "
+                        "mode all come from its manifest")
     add_level_expert_flags(parser)
     parser.add_argument("--n_examples", type=int, default=10)
     parser.add_argument("--resolutions", type=int, nargs="+", default=[80, 160, 320, 640])
@@ -53,9 +57,19 @@ def main(argv=None) -> None:
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
 
-    model, variables, train_stats = resolve_level_experts(args.model_path, args)
-    overlap = (tuple(bool(v) for v in args.overlap_levels)
-               if args.overlap_levels is not None else args.overlap)
+    amp_levels = None
+    if args.bundle is not None:
+        from superresolution_for_pdes_tpu.deploy import load_bundle
+
+        model, variables, amp_levels, manifest = load_bundle(args.bundle)
+        train_stats = None
+        overlap = manifest["overlap"]
+        args.stats_mode = manifest["stats_mode"]
+        args.amp_calibrate = 0
+    else:
+        model, variables, train_stats = resolve_level_experts(args.model_path, args)
+        overlap = (tuple(bool(v) for v in args.overlap_levels)
+                   if args.overlap_levels is not None else args.overlap)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
 
@@ -68,7 +82,7 @@ def main(argv=None) -> None:
         train_stats=train_stats, overlap=overlap, symmetrize=args.symmetrize,
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
-        amp_kind=args.amp_kind, amp_bpo=args.amp_bpo,
+        amp_kind=args.amp_kind, amp_bpo=args.amp_bpo, amp_levels=amp_levels,
     )
     if result.get("amp_levels"):
         print("amp_levels:", [(round(a, 4) if isinstance(a, float) else

@@ -46,6 +46,7 @@ def run_resolution_sweep(
     amp_mode: str = "scalar",
     amp_kind: str = "radial",
     amp_bpo: int = 4,
+    amp_levels=None,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``.
@@ -59,8 +60,7 @@ def run_resolution_sweep(
 
     # Honest per-level amplitude calibration from self-generated
     # training-distribution scenes (never this eval scene).
-    amp_levels = None
-    if amp_calibrate > 0:
+    if amp_levels is None and amp_calibrate > 0:
         from superresolution_for_pdes_tpu.cascade.upscale import calibrate_amplitude
 
         calibrate, extra = calibrate_amplitude, {}

@@ -93,14 +93,14 @@ def run_statistical_benchmark(
     amp_mode: str = "scalar",
     amp_kind: str = "radial",
     amp_bpo: int = 4,
+    amp_levels=None,
 ) -> Dict:
     resolutions = tuple(resolutions)
 
     # Honest per-level amplitude calibration from self-generated
     # training-distribution scenes (cascade.upscale.calibrate_amplitude);
     # the eval scenes below are untouched by it.
-    amp_levels = None
-    if amp_calibrate > 0:
+    if amp_levels is None and amp_calibrate > 0:
         calibrate, extra = calibrate_amplitude, {}
         if amp_mode == "modal":
             from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
