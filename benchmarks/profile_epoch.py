@@ -61,7 +61,8 @@ def main() -> None:
     total += timed("prepare_arrays", lambda: float(
         prepare_arrays(ds0, stats, per_sample=True, scale_channels=True)["x"][0, 0, 0, 0]))
 
-    model, variables = init_unet(jax.random.key(0), AttentionUNet())
+    # scale-aware per-sample inputs carry 5 channels (flagship_r7 recipe)
+    model, variables = init_unet(jax.random.key(0), AttentionUNet(in_channels=5))
     config = TrainConfig(batch_size=32, physics_weight=0.3,
                          normalization="per_sample", scale_channels=True)
     tx = make_optimizer(config)
