@@ -57,6 +57,18 @@ def main():
         f"(5 epochs only — see README for converged numbers)"
     )
 
+    # 4. Freeze the configuration as ONE deployment artifact and serve it
+    #    (see `python -m superresolution_for_pdes_tpu upscale --help`).
+    from superresolution_for_pdes_tpu.deploy import run_bundle, save_bundle
+
+    cfg = dict(name="attention_unet", enc_features=(16, 32, 64),
+               bridge_features=128, head_features=(16, 8))
+    save_bundle("results/quickstart_bundle", cfg, variables, stats_mode="tile")
+    data = {"u": {40: scene["u"][40]}, "f": scene["f"], "theta": scene["theta"]}
+    served = run_bundle("results/quickstart_bundle", data, 160)
+    print(f"served from bundle: {served[160].shape} "
+          f"(MAE {float(jnp.abs(served[160] - truth).mean()):.3e})")
+
 
 if __name__ == "__main__":
     main()
