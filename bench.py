@@ -35,7 +35,34 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 BASELINE_SOLVES_PER_SEC = 5_000.0
 
 
+def _arm_watchdog(seconds: float = 600.0):
+    """Emit an error JSON line and exit if the device never answers.
+
+    A dead remote-TPU tunnel blocks the first device call forever (observed
+    2026-08-18: the relay daemon died mid-round and every probe hung on a
+    futex) — better to record the outage than to hang the driver. Disarmed
+    as soon as the measurement completes.
+    """
+    import os
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "batched_poisson_solves_per_sec_40x40",
+            "value": 0.0, "unit": "solves/sec", "vs_baseline": 0.0,
+            "error": f"device unresponsive for {seconds:.0f}s "
+                     "(TPU tunnel down?) — no measurement",
+        }), flush=True)
+        os._exit(3)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main() -> None:
+    watchdog = _arm_watchdog()
     from superresolution_for_pdes_tpu.ops.grid import forcing_term
     from superresolution_for_pdes_tpu.solver import solve_poisson_dst
 
@@ -63,6 +90,7 @@ def main() -> None:
         return acc
 
     float(run(f, theta, scales))  # compile + warm
+    watchdog.cancel()  # device is alive; measurement can take its time
     t0 = time.perf_counter()
     checksum = float(run(f, theta, scales))
     elapsed = time.perf_counter() - t0
