@@ -121,6 +121,12 @@ def main(argv=None) -> None:
                         "generated scenes first (grid kind, 4 bands/octave, "
                         "the deployment correction) so selffeed inputs match "
                         "the corrected deployment cascade")
+    parser.add_argument("--fused_epochs", type=int, default=0,
+                        help="with --gen_stream: scan this many epochs "
+                        "(regen + train + validate) inside ONE device "
+                        "program — amortizes the per-epoch host dispatches "
+                        "over remote-TPU tunnels (LR changes then apply at "
+                        "chunk boundaries)")
     parser.add_argument(
         "--gen_stream", action="store_true",
         help="regenerate the training split on-device with a fresh key every "
@@ -187,6 +193,7 @@ def main(argv=None) -> None:
         early_stopping_patience=args.early_stopping_patience,
         plateau_patience=args.plateau_patience,
         log_tensorboard=args.tensorboard,
+        fused_epochs=args.fused_epochs,
     )
     if args.multihost:
         from superresolution_for_pdes_tpu.parallel import initialize_multihost

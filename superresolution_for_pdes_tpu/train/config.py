@@ -51,6 +51,13 @@ class TrainConfig:
     # reference and persisted only every `checkpoint_interval` improvements
     # plus once at the end. 1 = write on every improvement.
     checkpoint_interval: int = 25
+    # Fused streaming: scan this many epochs (regenerate -> train -> validate)
+    # inside ONE device program, eliminating the per-epoch host dispatches and
+    # tunnel round-trips of streamed training. 0/1 = the standard loop.
+    # Requires a dataset_generator; LR-plateau changes apply at chunk
+    # boundaries and the best checkpoint stores the state at the end of the
+    # chunk containing the best epoch.
+    fused_epochs: int = 0
 
     def to_json(self, path: str | Path) -> None:
         Path(path).write_text(json.dumps(dataclasses.asdict(self), indent=4))

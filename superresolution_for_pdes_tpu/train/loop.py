@@ -22,6 +22,8 @@ TPU-first execution model:
 """
 
 from __future__ import annotations
+
+import functools
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -388,6 +390,90 @@ def train_model(
     last_ckpt_epoch = -(10**9)
 
     stream_key = jax.random.key(config.seed + 2)
+
+    fused = int(getattr(config, "fused_epochs", 0) or 0)
+    if fused > 1 and dataset_generator is not None:
+        # Fused streaming (SURVEY north-star "datagen fused into the step"):
+        # regenerate -> prepare -> train-epoch -> validate for `fused` epochs
+        # inside ONE jitted scan. Streamed training pays a handful of host
+        # dispatches and tunnel round-trips per epoch (measured: they, not
+        # the train step, dominate the ~6 s champion epoch); one program per
+        # chunk amortizes them K-fold. Semantics deltas vs the standard loop,
+        # both documented on TrainConfig.fused_epochs: plateau-LR changes
+        # take effect at chunk boundaries, and the best snapshot holds the
+        # state at the END of the chunk containing the best epoch.
+        if mesh is not None or config.coarse_noise_std > 0.0:
+            raise ValueError("fused_epochs does not compose with mesh "
+                             "replication or coarse_noise_std")
+        probe = dataset_generator(jax.random.fold_in(stream_key, 2**31 - 1))
+        n_stream = int(probe["u_fine"].shape[0])
+        del probe
+
+        @functools.partial(jax.jit, static_argnames=("n_epochs",))
+        def run_chunk(state: TrainState, epoch0: jnp.ndarray, n_epochs: int):
+            def body(carry, e):
+                key = jax.random.fold_in(stream_key, epoch0 + e)
+                fresh = dataset_generator(key)
+                arrs = prepare_arrays(fresh, stats, dtype, per_sample=per_sample,
+                                      scale_channels=scale_channels)
+                idx = epoch_batch_indices(
+                    jax.random.fold_in(key, 1), n_stream, config.batch_size)
+                carry, tr = train_epoch(carry, arrs, idx)
+                return carry, (tr, eval_loss(carry, val_arrays))
+
+            state, (trs, vls) = jax.lax.scan(
+                body, state, jnp.arange(n_epochs, dtype=jnp.int32))
+            return state, trs, vls
+
+        epoch = start_epoch
+        stopped = False
+        while epoch < config.num_epochs and not stopped:
+            k = min(fused, config.num_epochs - epoch)
+            state, trs, vls = run_chunk(state, jnp.asarray(epoch, jnp.int32), k)
+            trs, vls = jax.device_get((trs, vls))
+            chunk_improved = False
+            for j in range(k):
+                train_loss, val_loss = float(trs[j]), float(vls[j])
+                new_lr = plateau.step(val_loss)
+                history["train_loss"].append(train_loss)
+                history["val_loss"].append(val_loss)
+                history["lr"].append(new_lr)
+                logger.log(epoch + j, {"train_loss": train_loss,
+                                       "val_loss": val_loss,
+                                       "learning_rate": new_lr})
+                if verbose:
+                    print(f"epoch {epoch + j + 1}/{config.num_epochs}: "
+                          f"train {train_loss:.6f} val {val_loss:.6f} "
+                          f"lr {new_lr:.2e}")
+                if early.step(val_loss, epoch + j):
+                    stopped = True
+                if early.improved:
+                    chunk_improved = True
+                if stopped:
+                    break
+            if plateau.lr != get_learning_rate(state.opt_state):
+                state = state.replace(
+                    opt_state=set_learning_rate(state.opt_state, plateau.lr))
+            if chunk_improved:
+                best_snapshot = {
+                    "state": state,          # chunk-end state (see docstring)
+                    "epoch": early.best_epoch,
+                    "train_loss": float(trs[min(k, len(trs)) - 1]),
+                    "val_loss": early.best,
+                    "plateau": plateau.state_dict(),
+                    "early": early.state_dict(),
+                }
+                last = epoch + k - 1
+                if (config.checkpoint_every_best
+                        and last - last_ckpt_epoch >= config.checkpoint_interval):
+                    _save_best(run_dir, best_snapshot, stats)
+                    last_ckpt_epoch = last
+            epoch += k
+            if stopped and verbose:
+                print(f"early stopping after {len(history['val_loss']) + start_epoch} epochs")
+        return _finalize(run_dir, config, state, stats, history, early, plateau,
+                         best_snapshot, start_epoch, logger, model)
+
     for epoch in range(start_epoch, config.num_epochs):
         shuffle_key, epoch_key = jax.random.split(shuffle_key)
         if dataset_generator is not None:
@@ -443,6 +529,14 @@ def train_model(
                 print(f"early stopping after {epoch + 1} epochs")
             break
 
+    return _finalize(run_dir, config, state, stats, history, early, plateau,
+                     best_snapshot, start_epoch, logger, model)
+
+
+def _finalize(run_dir, config, state, stats, history, early, plateau,
+              best_snapshot, start_epoch, logger, model):
+    """Shared tail of both training loops: final/best checkpoints, history
+    plot, logger close, and the returned history dict."""
     if best_snapshot is not None and config.checkpoint_every_best:
         _save_best(run_dir, best_snapshot, stats)
     save_checkpoint(
