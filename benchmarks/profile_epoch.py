@@ -78,7 +78,11 @@ def main() -> None:
         return float(loss)
 
     total += timed("train_epoch_scan", one_epoch)
-    total += timed("val_pass", lambda: float(eval_loss(state, arrays)))
+    # the real loop evaluates the ~20% val split, not the full set — a full-set
+    # eval is one giant program whose activations exceed 16 GB HBM at this n
+    n_val = max(1, n // 5)
+    val_arrays = {k: v[:n_val] for k, v in arrays.items()}
+    total += timed("val_pass", lambda: float(eval_loss(state, val_arrays)))
     rtt = timed("scalar_fetch_rtt", lambda: float(state.step))
     print(json.dumps({"component": "epoch_total_estimate",
                       "seconds": round(total, 4),
