@@ -86,6 +86,7 @@ def make_train_fns(
     physics_weight: float = 0.0,
     batch_sharding: Optional[jax.sharding.NamedSharding] = None,
     coarse_noise_std: float = 0.0,
+    eval_chunk: int = 1024,
 ) -> Tuple[Callable, Callable]:
     """Build (train_epoch, eval_loss) jitted functions.
 
@@ -183,9 +184,29 @@ def make_train_fns(
 
     @jax.jit
     def eval_loss(state: TrainState, arrays: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-        batch = constrain(arrays)
-        loss, _ = loss_fn(state.params, state.batch_stats, batch, False)
-        return loss
+        # Chunked validation: a whole-split forward allocates activations
+        # proportional to the split (an 18 GB spike at ~22k samples on the
+        # 16 GB chip), so scan fixed-size chunks and take the exact
+        # sample-weighted mean instead. Shapes are static at trace time.
+        n = next(iter(arrays.values())).shape[0]
+        chunk = min(eval_chunk, n)
+        n_full = n // chunk
+
+        def chunk_loss(batch):
+            loss, _ = loss_fn(state.params, state.batch_stats, constrain(batch), False)
+            return loss
+
+        total = jnp.zeros((), jnp.float32)
+        if n_full:
+            head = {k: v[: n_full * chunk].reshape((n_full, chunk) + v.shape[1:])
+                    for k, v in arrays.items()}
+            total, _ = jax.lax.scan(
+                lambda acc, batch: (acc + chunk_loss(batch), None), total, head)
+            total = total * chunk
+        if n % chunk:
+            tail = {k: v[n_full * chunk:] for k, v in arrays.items()}
+            total = total + chunk_loss(tail) * (n % chunk)
+        return total / n
 
     return train_epoch, eval_loss
 

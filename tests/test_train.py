@@ -175,3 +175,35 @@ def test_fused_epochs_streaming(tmp_path):
     fused_first = generator(jax.random.fold_in(stream_key, 0))
     np.testing.assert_array_equal(np.asarray(ref["u_fine"]),
                                   np.asarray(fused_first["u_fine"]))
+
+
+def test_chunked_eval_matches_single_shot():
+    """eval_loss scans fixed-size chunks; the sample-weighted mean must equal
+    the whole-split single-forward value (chunking exists purely to bound
+    activation memory — an 18 GB spike at ~22k samples on the 16 GB chip)."""
+    import optax
+
+    from superresolution_for_pdes_tpu.data.normalization import NormStats
+    from superresolution_for_pdes_tpu.train.loop import make_train_fns, prepare_arrays
+
+    ds = generate_standard_dataset(jax.random.key(5), 10)
+    stats = NormStats.from_dataset(ds)
+    arrays = prepare_arrays(ds, stats)
+    model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4))
+    variables = model.init(jax.random.key(0), arrays["x"][:1], train=False)
+    tx = optax.adamw(1e-3)
+
+    from superresolution_for_pdes_tpu.train.loop import TrainState
+
+    state = TrainState(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+        step=jnp.zeros((), jnp.int32),
+    )
+    losses = {}
+    for chunk in (1024, 4, 3):  # single shot, even split, uneven tail
+        _, eval_loss = make_train_fns(model, tx, stats, physics_weight=0.1, eval_chunk=chunk)
+        losses[chunk] = float(eval_loss(state, arrays))
+    assert losses[4] == pytest.approx(losses[1024], rel=1e-5)
+    assert losses[3] == pytest.approx(losses[1024], rel=1e-5)
