@@ -12,6 +12,7 @@ COMMANDS = {
     "compare_test_cases": "superresolution_for_pdes_tpu.cli.compare_test_cases",
     "resolution_comparison": "superresolution_for_pdes_tpu.cli.resolution_comparison",
     "statistical": "superresolution_for_pdes_tpu.cli.statistical",
+    "diagnose": "superresolution_for_pdes_tpu.cli.diagnose",
     "upscale": "superresolution_for_pdes_tpu.cli.upscale",
 }
 

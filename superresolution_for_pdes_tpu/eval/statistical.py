@@ -153,6 +153,10 @@ def run_statistical_benchmark(
     for i in range(n_examples):
         record: Dict = {
             "k1": float(scenes["k1"][i]), "k2": float(scenes["k2"][i]),
+            # Coarse-field RMS: with per-res truth RMS below this gives the
+            # scene's discrete-dispersion amplitude ratio (model-free scene
+            # features for eval.diagnose).
+            "rms40": float(jnp.sqrt(jnp.mean(scenes["u"][40][i] ** 2))),
             "solve_times": dict(solve_times),
         }
         for res in resolutions:
@@ -162,6 +166,7 @@ def run_statistical_benchmark(
                        compute_metrics(ml_fields[res][i], truth).items()},
                 "bilinear": {k: float(v) for k, v in
                              compute_metrics(bl_fields[res][i], truth).items()},
+                "truth_rms": float(jnp.sqrt(jnp.mean(truth**2))),
                 "ml_time": ml_times[res],
                 "bilinear_time": bl_times[res],
             }
@@ -220,6 +225,8 @@ def _write_csv_and_plots(records, aggregate, resolutions, save_dir: Path):
                     "bilinear_mae": r[res]["bilinear"]["mae"],
                     "bilinear_rmse": r[res]["bilinear"]["rmse"],
                     "bilinear_rel_l2": r[res]["bilinear"]["relative_l2"],
+                    "truth_rms": r[res].get("truth_rms", float("nan")),
+                    "rms40": r.get("rms40", float("nan")),
                     "ml_time": r[res]["ml_time"], "bilinear_time": r[res]["bilinear_time"],
                     "solve_time": r["solve_times"].get(res, float("nan")),
                 })
