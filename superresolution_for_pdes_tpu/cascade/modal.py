@@ -143,6 +143,7 @@ def calibrate_modal(
     from superresolution_for_pdes_tpu.cascade.upscale import (
         _level_overlap,
         _level_program,
+        _level_tile,
     )
 
     resolutions = []
@@ -172,8 +173,8 @@ def calibrate_modal(
         pred = _level_program(
             model, level_vars, current, scenes["f"][res], scenes["theta"][res],
             stats_field, train_stats if stats_kind == "precomputed" else None,
-            coarse_tile, _level_overlap(overlap, i), None, stats_kind,
-            symmetrize, 0, None,
+            _level_tile(coarse_tile, i), _level_overlap(overlap, i), None,
+            stats_kind, symmetrize, 0, None,
         )
         g = band_gains(pred, scenes["u"][res], bands_per_octave, kind)
         gains.append(g)

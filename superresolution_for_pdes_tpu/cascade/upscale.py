@@ -130,6 +130,21 @@ def _level_overlap(overlap, i: int) -> bool:
     return bool(overlap)
 
 
+def _level_tile(coarse_tile, i: int) -> int:
+    """Per-level coarse tile size: ``coarse_tile`` may be one int for every
+    level or a tuple with one int per level (trailing levels reuse the last
+    entry).  Bigger windows at deeper levels give the model more spatial
+    context per tile — e.g. ``(20, 40)`` runs level 1 on the trained 20->40
+    geometry but level 2+ on 40^2->80^2 windows (4 tiles at 80->160 instead
+    of 16), so near-Nyquist structure is not chopped at 20-point tile
+    boundaries.  Each level's tile must divide its input resolution; pair a
+    non-20 entry with an expert trained on that window size
+    (``--gen_tile_size`` in the train CLI)."""
+    if isinstance(coarse_tile, (list, tuple)):
+        return int(coarse_tile[min(i, len(coarse_tile) - 1)])
+    return int(coarse_tile)
+
+
 def _level_body(
     model,
     variables: Dict,
@@ -283,7 +298,8 @@ def _cascade_program(
             )
             current = _level_body(
                 model, level_vars, current, fs[i], thetas[i], stats_source,
-                coarse_tile=coarse_tile, overlap=_level_overlap(overlap, i),
+                coarse_tile=_level_tile(coarse_tile, i),
+                overlap=_level_overlap(overlap, i),
                 tile_sharding=tile_sharding, stats_kind=kind,
                 symmetrize=symmetrize, refine_cycles=refine_cycles,
             )
@@ -406,13 +422,75 @@ def ml_cascade_stepwise(
         current = _level_program(
             model, level_vars, current, data["f"][res], data["theta"][res],
             stats_field, train_stats if kind == "precomputed" else None,
-            coarse_tile, _level_overlap(overlap, i), tile_sharding, kind,
-            symmetrize, refine_cycles, amp,
+            _level_tile(coarse_tile, i), _level_overlap(overlap, i),
+            tile_sharding, kind, symmetrize, refine_cycles, amp,
         )
         float(jnp.sum(current))
         times[res] = time.perf_counter() - t0
         outs[res] = current
     return outs, times
+
+
+def warmup_cascade_stepwise(
+    model,
+    variables: Dict,
+    data: Dict,
+    target_resolution: int,
+    stats_mode: str = "scene",
+    train_stats: Optional[NormStats] = None,
+    tile_sharding: Optional[jax.sharding.NamedSharding] = None,
+    start_resolution: int = 40,
+    coarse_tile: int = 20,
+    overlap: bool = False,
+    symmetrize: bool = False,
+    refine_cycles: int = 0,
+    amp_levels=None,
+) -> None:
+    """AOT-compile every per-level program :func:`ml_cascade_stepwise` will
+    run, WITHOUT executing any device work.
+
+    ``jit.lower(...).compile()`` populates the same executable cache the
+    ordinary call path hits, so a timed :func:`ml_cascade_stepwise` pass after
+    this warmup measures pure execution — at zero device-work cost, unlike the
+    run-and-discard warm pass it replaces (which doubled the benchmark's
+    device work; round-3 verdict hygiene item).  The evolving ``current``
+    field is represented by shape/dtype structs; all other arguments are the
+    real ones so the lowered signatures match the timed pass exactly.
+    """
+    if stats_mode not in ("oracle", "scene", "train", "tile"):
+        raise ValueError(f"unknown stats_mode: {stats_mode!r}")
+    kind = {"oracle": "field", "scene": "field", "train": "precomputed",
+            "tile": "per_tile"}[stats_mode]
+
+    resolutions = []
+    res = start_resolution
+    while res < target_resolution:
+        res *= 2
+        resolutions.append(res)
+
+    u0 = data["u"][start_resolution]
+    dtype = u0.dtype
+    batch = u0.shape[:-2]
+    current = jax.ShapeDtypeStruct(batch + (start_resolution, start_resolution), dtype)
+    for i, res in enumerate(resolutions):
+        if stats_mode == "oracle":
+            stats_field = data["u"][res]
+        elif stats_mode == "scene":
+            stats_field = current
+        else:
+            stats_field = None
+        level_vars = (
+            variables[min(i, len(variables) - 1)]
+            if isinstance(variables, (list, tuple)) else variables
+        )
+        amp = None if amp_levels is None else amp_levels[i]
+        _level_program.lower(
+            model, level_vars, current, data["f"][res], data["theta"][res],
+            stats_field, train_stats if kind == "precomputed" else None,
+            _level_tile(coarse_tile, i), _level_overlap(overlap, i),
+            tile_sharding, kind, symmetrize, refine_cycles, amp,
+        ).compile()
+        current = jax.ShapeDtypeStruct(batch + (res, res), dtype)
 
 
 def ml_cascade(
@@ -464,6 +542,8 @@ def ml_cascade(
         amp_levels = tuple(jnp.asarray(a) for a in amp_levels)
     if isinstance(overlap, list):
         overlap = tuple(overlap)  # static jit arg must be hashable
+    if isinstance(coarse_tile, list):
+        coarse_tile = tuple(coarse_tile)
     outs = _cascade_program(
         model, variables, data["u"][start_resolution], f_levels, theta_levels,
         u_truths, train_stats, resolutions, coarse_tile, overlap,
@@ -583,7 +663,8 @@ def calibrate_amplitude(
         pred = _level_program(
             model, level_vars, current, scenes["f"][res], scenes["theta"][res],
             stats_field, train_stats if kind == "precomputed" else None,
-            coarse_tile, _level_overlap(overlap, i), None, kind, symmetrize, 0, None,
+            _level_tile(coarse_tile, i), _level_overlap(overlap, i), None, kind,
+            symmetrize, 0, None,
         )
         truth = scenes["u"][res]
         ratio = jnp.std(truth, axis=(-2, -1)) / jnp.maximum(

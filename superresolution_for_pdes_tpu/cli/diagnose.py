@@ -21,13 +21,17 @@ def main(argv=None) -> None:
     parser.add_argument("--focus", type=int, default=None,
                         help="resolution whose worst scenes to list (default: all)")
     parser.add_argument("--top", type=int, default=5)
+    parser.add_argument("--stride", type=float, default=20.0,
+                        help="tile-to-tile advance in input-grid points for the "
+                             "tile_misalign features: 20 for non-overlap runs, "
+                             "10 for overlap-feathered levels")
     parser.add_argument("--out", type=str, default=None,
                         help="optional path for the diagnosis JSON")
     args = parser.parse_args(argv)
 
     from superresolution_for_pdes_tpu.eval.diagnose import diagnose_file, format_report
 
-    diag = diagnose_file(args.results, focus=args.focus)
+    diag = diagnose_file(args.results, focus=args.focus, stride=args.stride)
     print(format_report(diag, focus=args.focus, top=args.top))
     if args.out:
         Path(args.out).parent.mkdir(parents=True, exist_ok=True)

@@ -33,6 +33,10 @@ def main(argv=None) -> None:
                         metavar="0/1", help="per-level overlap schedule "
                         "(one 0/1 per level, trailing levels reuse the last; "
                         "overrides --overlap)")
+    parser.add_argument("--tile_levels", type=int, nargs="+", default=None,
+                        metavar="T", help="per-level coarse tile size (one "
+                        "per level, trailing levels reuse the last; default "
+                        "20 everywhere)")
     parser.add_argument("--symmetrize", action="store_true",
                         help="average the model over the 8 square symmetries "
                         "(honest test-time ensembling; one 8x-larger batch)")
@@ -62,12 +66,15 @@ def main(argv=None) -> None:
         model, variables, amp_levels, manifest = load_bundle(args.bundle)
         train_stats = None
         overlap = manifest["overlap"]
+        coarse_tile = manifest["coarse_tile"]
         args.stats_mode = manifest["stats_mode"]
         args.amp_calibrate = 0
     else:
         model, variables, train_stats = resolve_level_experts(args.model_path, args)
         overlap = (tuple(bool(v) for v in args.overlap_levels)
                    if args.overlap_levels is not None else args.overlap)
+        coarse_tile = (tuple(int(v) for v in args.tile_levels)
+                       if args.tile_levels is not None else 20)
     if args.stats_mode == "train" and train_stats is None:
         raise SystemExit("--stats_mode train requires a checkpoint with saved norm_stats")
     tile_sharding = None
@@ -87,6 +94,7 @@ def main(argv=None) -> None:
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
         amp_kind=args.amp_kind, amp_bpo=args.amp_bpo, amp_levels=amp_levels,
+        coarse_tile=coarse_tile,
     )
     for res in args.resolutions:
         m = result["metrics"]

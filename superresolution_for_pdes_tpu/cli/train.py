@@ -27,6 +27,9 @@ def _make_selffeed(args):
     sf_model, sf_vars, _ = resolve_level_experts(args.gen_selffeed_model, ns)
     overlap = (tuple(bool(v) for v in args.gen_selffeed_overlap_levels)
                if args.gen_selffeed_overlap_levels is not None else False)
+    teacher_tile = (tuple(int(v) for v in args.gen_selffeed_teacher_tile)
+                    if getattr(args, "gen_selffeed_teacher_tile", None) is not None
+                    else 20)
     amp_levels = None
     if args.gen_selffeed_amp > 0:
         from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
@@ -39,6 +42,7 @@ def _make_selffeed(args):
             stats_mode=args.gen_selffeed_stats,
             kind="grid",
             overlap=overlap,
+            coarse_tile=teacher_tile,
         )
 
     def gen(key):
@@ -51,6 +55,8 @@ def _make_selffeed(args):
             amp_levels=amp_levels,
             harvest_from=args.gen_selffeed_harvest_from,
             overlap=overlap,
+            tile_size=args.gen_tile_size,
+            teacher_tile=teacher_tile,
         )
 
     return gen
@@ -121,6 +127,17 @@ def main(argv=None) -> None:
                         "generated scenes first (grid kind, 4 bands/octave, "
                         "the deployment correction) so selffeed inputs match "
                         "the corrected deployment cascade")
+    parser.add_argument("--gen_tile_size", type=int, default=20,
+                        help="coarse window size of generated cascade/selffeed "
+                        "tiles (fine windows are 2x). 40 trains a bigger-"
+                        "context expert for levels run with --tile_levels 40; "
+                        "requires --gen_standard 0 --gen_subdomain 0 (those "
+                        "samples are fixed 20->40 geometry)")
+    parser.add_argument("--gen_selffeed_teacher_tile", type=int, nargs="+",
+                        default=None, metavar="T",
+                        help="per-level tile schedule the FROZEN teacher "
+                        "cascade runs with (match the deployment schedule); "
+                        "default 20 everywhere")
     parser.add_argument("--fused_epochs", type=int, default=0,
                         help="with --gen_stream: scan this many epochs "
                         "(regen + train + validate) inside ONE device "
@@ -172,6 +189,11 @@ def main(argv=None) -> None:
         help="checkpoint directory to resume full training state from",
     )
     args = parser.parse_args(argv)
+    if (args.gen_tile_size != 20 and args.gen_selffeed_scenes > 0
+            and (args.gen_standard > 0 or args.gen_subdomain > 0)):
+        raise SystemExit(
+            "--gen_tile_size != 20 cannot be mixed with standard/subdomain "
+            "samples; set --gen_standard 0 --gen_subdomain 0")
 
     from superresolution_for_pdes_tpu.data.io import load_dataset
     from superresolution_for_pdes_tpu.parallel import data_mesh
@@ -218,6 +240,7 @@ def main(argv=None) -> None:
             cascade_k_range=tuple(args.gen_cascade_k),
             cascade_finest=args.gen_cascade_finest,
             cascade_coarsest=args.gen_cascade_coarsest,
+            cascade_tile_size=args.gen_tile_size,
         )
         if args.gen_selffeed_scenes > 0:
             selffeed = _make_selffeed(args)(
@@ -260,6 +283,7 @@ def main(argv=None) -> None:
                 cascade_k_range=tuple(args.gen_cascade_k),
                 cascade_finest=args.gen_cascade_finest,
                 cascade_coarsest=args.gen_cascade_coarsest,
+                cascade_tile_size=args.gen_tile_size,
             )
             if selffeed_gen is not None:
                 ds = combine_datasets(ds, selffeed_gen(jax.random.fold_in(key, 7)))

@@ -47,6 +47,9 @@ def main(argv=None) -> None:
                         help="honest stats modes only — deployment has no oracle")
     parser.add_argument("--overlap_levels", type=int, nargs="+", default=None,
                         metavar="0/1")
+    parser.add_argument("--tile_levels", type=int, nargs="+", default=None,
+                        metavar="T", help="per-level coarse tile size "
+                        "(trailing levels reuse the last; default 20)")
     parser.add_argument("--amp_calibrate", type=int, default=0,
                         help="modal-calibrate (grid kind) on N self-generated "
                         "scenes before running/saving")
@@ -101,6 +104,8 @@ def main(argv=None) -> None:
         model, variables, _ = resolve_level_experts(args.model_path, args)
         overlap = (tuple(bool(v) for v in args.overlap_levels)
                    if args.overlap_levels is not None else False)
+        coarse_tile = (tuple(int(v) for v in args.tile_levels)
+                       if args.tile_levels is not None else 20)
         amp_levels = None
         if args.amp_calibrate > 0:
             from superresolution_for_pdes_tpu.cascade.modal import calibrate_modal
@@ -109,7 +114,8 @@ def main(argv=None) -> None:
                 model, variables, jax.random.key(args.amp_seed),
                 n_scenes=args.amp_calibrate, target_resolution=args.target,
                 k_range=tuple(args.amp_k), stats_mode=args.stats_mode,
-                overlap=overlap, bands_per_octave=args.amp_bpo, kind="grid")
+                overlap=overlap, bands_per_octave=args.amp_bpo, kind="grid",
+                coarse_tile=coarse_tile)
         if args.save_bundle is not None:
             from superresolution_for_pdes_tpu.deploy import save_bundle
 
@@ -119,11 +125,12 @@ def main(argv=None) -> None:
             save_bundle(
                 args.save_bundle, cfg, variables, amp_levels=amp_levels,
                 overlap=overlap, stats_mode=args.stats_mode,
+                coarse_tile=coarse_tile,
                 extra={"amp_k": list(args.amp_k), "amp_calibrate": args.amp_calibrate})
             print(f"bundle saved to {args.save_bundle}")
         outs = ml_cascade(model, variables, scene, args.target,
                           stats_mode=args.stats_mode, overlap=overlap,
-                          amp_levels=amp_levels)
+                          amp_levels=amp_levels, coarse_tile=coarse_tile)
 
     # --- write + report ---
     out_dir = Path(args.out)

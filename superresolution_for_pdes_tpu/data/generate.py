@@ -256,6 +256,7 @@ def generate_mixed_dataset(
     cascade_k_range: Tuple[float, float] = (0.5, 12.0),
     cascade_finest: int = 640,
     cascade_coarsest: int = 40,
+    cascade_tile_size: int = 20,
     dtype=jnp.float32,
 ) -> Dict[str, jnp.ndarray]:
     """One-call training-set recipe (shared by the generate_data and train
@@ -268,6 +269,12 @@ def generate_mixed_dataset(
     set, while regenerating it on-chip takes ~2 s at 6M solves/sec — so
     training jobs prefer a (seeded, reproducible) generate step over a load.
     """
+    if (cascade_tile_size != 20 and n_cascade_scenes > 0
+            and (n_standard > 0 or n_subdomain > 0)):
+        raise ValueError(
+            "cascade_tile_size != 20 cannot be mixed with standard/subdomain "
+            "samples (their 20^2->40^2 geometry has different sample shapes); "
+            "set n_standard = n_subdomain = 0 for a bigger-window expert")
     if theta == "mixed":
         k1, k2 = jax.random.split(key)
         dataset = combine_datasets(
@@ -293,6 +300,7 @@ def generate_mixed_dataset(
             tiles_per_level=cascade_tiles_per_level, k_range=cascade_k_range,
             finest=cascade_finest, coarsest=cascade_coarsest,
             constant_theta=theta == "constant", dtype=dtype,
+            tile_size=cascade_tile_size,
         )
         dataset = combine_datasets(dataset, cascade)
     return dataset
@@ -426,6 +434,7 @@ def generate_cascade_dataset(
     constant_theta: bool = True,
     dtype=jnp.float32,
     refine_iters: int = 1,
+    tile_size: int = 20,
 ) -> Dict[str, jnp.ndarray]:
     """Cascade-consistent training tiles (TPU-build extension).
 
@@ -436,6 +445,10 @@ def generate_cascade_dataset(
     :func:`selffeed_cascade_dataset` for that part). The reference trains only
     on 20->40 geometry (SURVEY.md C3) and relies on distributional luck at
     80+; these tiles make the deeper levels in-distribution.
+
+    ``tile_size`` is the coarse window size (fine windows are 2x): 20 matches
+    the reference tiling; 40 trains a bigger-context expert for cascade
+    levels run with a 40-point tile schedule (``_level_tile``).
     """
     scene_key, tile_key = jax.random.split(key)
     fields, resolutions, k1, k2 = _cascade_scene_fields(
@@ -444,7 +457,7 @@ def generate_cascade_dataset(
     )
     return _tile_pairs_from_levels(
         tile_key, fields["u"], fields["u"], fields["f"], fields["theta"],
-        resolutions, tiles_per_level, k1, k2,
+        resolutions, tiles_per_level, k1, k2, coarse_tile=tile_size,
     )
 
 
@@ -463,6 +476,8 @@ def selffeed_cascade_dataset(
     amp_levels=None,
     harvest_from: int | None = None,
     overlap=False,
+    tile_size: int = 20,
+    teacher_tile=20,
 ) -> Dict[str, jnp.ndarray]:
     """Self-feeding cascade tiles: coarse inputs are the given model's OWN
     cascade predictions (scheduled-sampling analogue).
@@ -483,6 +498,10 @@ def selffeed_cascade_dataset(
     ``harvest_from`` restricts harvesting to pairs
     whose coarse resolution is >= that value (e.g. ``finest=160,
     harvest_from=80`` yields only 80->160 tiles with predicted-80 inputs).
+    ``tile_size`` is the HARVESTED coarse window size (20 = reference tiling;
+    40 trains a bigger-context expert) while ``teacher_tile`` is the frozen
+    teacher cascade's own tile schedule (int or per-level tuple) — the two
+    are independent: a 40-window student can learn from a 20-tiled teacher.
     """
     from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
 
@@ -506,7 +525,9 @@ def selffeed_cascade_dataset(
         preds = ml_cascade(model, variables, scene, resolutions[-2],
                            stats_mode=stats_mode, amp_levels=amp_levels,
                            overlap=tuple(overlap) if isinstance(overlap, list)
-                           else overlap)
+                           else overlap,
+                           coarse_tile=tuple(teacher_tile)
+                           if isinstance(teacher_tile, list) else teacher_tile)
         for res in resolutions[1:-1]:
             u_inputs[res] = preds[res]
     if harvest_from is not None:
@@ -518,5 +539,5 @@ def selffeed_cascade_dataset(
         resolutions = harvested
     return _tile_pairs_from_levels(
         tile_key, u_inputs, fields["u"], fields["f"], fields["theta"],
-        resolutions, tiles_per_level, k1, k2,
+        resolutions, tiles_per_level, k1, k2, coarse_tile=tile_size,
     )

@@ -45,6 +45,7 @@ def save_bundle(
     overlap=False,
     stats_mode: str = "tile",
     extra: Optional[Dict] = None,
+    coarse_tile=20,
 ) -> Path:
     """Write a deployment bundle. ``variables`` may be one variables pytree or
     the per-level tuple; duplicate levels (same object) are stored once."""
@@ -69,6 +70,9 @@ def save_bundle(
         "amp": amp_levels is not None,
         "overlap": list(overlap) if isinstance(overlap, (list, tuple)) else bool(overlap),
         "stats_mode": stats_mode,
+        "coarse_tile": (list(coarse_tile)
+                        if isinstance(coarse_tile, (list, tuple))
+                        else int(coarse_tile)),
         "extra": extra or {},
     }
     (path / _MANIFEST).write_text(json.dumps(manifest, indent=2))
@@ -98,6 +102,9 @@ def load_bundle(path: str | Path):
     overlap = manifest["overlap"]
     if isinstance(overlap, list):
         manifest["overlap"] = tuple(bool(v) for v in overlap)
+    tile = manifest.get("coarse_tile", 20)  # pre-round-4 bundles lack the key
+    manifest["coarse_tile"] = (tuple(int(v) for v in tile)
+                               if isinstance(tile, list) else int(tile))
     return model, variables, amp_levels, manifest
 
 
@@ -118,4 +125,5 @@ def run_bundle(
         start_resolution=start_resolution,
         overlap=manifest["overlap"],
         amp_levels=amp_levels,
+        coarse_tile=manifest["coarse_tile"],
     )

@@ -49,11 +49,17 @@ def _dist_to_int(x: np.ndarray) -> np.ndarray:
     return np.abs(x - np.round(x))
 
 
-def scene_features(k1: float, k2: float, levels: Sequence[int] = (40, 80, 160, 320)) -> Dict[str, float]:
+def scene_features(k1: float, k2: float, levels: Sequence[int] = (40, 80, 160, 320),
+                   stride: float = 20.0) -> Dict[str, float]:
     """Model-free structural features of one scene.
 
     ``levels`` lists the *input* resolutions of the cascade levels
-    (40->80 is level 1 with input 40, ...).
+    (40->80 is level 1 with input 40, ...).  ``stride`` is the tile-to-tile
+    advance in input-grid points: 20 for the non-overlap cascade, 10 for
+    overlap-feathered levels (``cascade/upscale.py`` uses
+    ``c_stride = coarse_tile // 2``); pass the stride matching the run being
+    diagnosed or the ``tile_misalign`` feature mischaracterizes the phase
+    staggering.
     """
     k = np.array([k1, k2], dtype=np.float64)
     feats: Dict[str, float] = {
@@ -63,9 +69,10 @@ def scene_features(k1: float, k2: float, levels: Sequence[int] = (40, 80, 160, 3
         "k_frac": float(_dist_to_int(k).max()),
     }
     for lvl, r_in in enumerate(levels, start=1):
-        # Phase advance between adjacent 20-point tiles of the input grid,
-        # in cycles of the forcing sin(2*pi*k*x), x = linspace(0, 1, R).
-        adv = 20.0 * k / (r_in - 1)
+        # Phase advance between adjacent tiles of the input grid (stride
+        # points apart), in cycles of the forcing sin(2*pi*k*x),
+        # x = linspace(0, 1, R).
+        adv = stride * k / (r_in - 1)
         feats[f"tile_misalign_L{lvl}"] = float(_dist_to_int(adv).max())
     return feats
 
@@ -88,11 +95,13 @@ def _spearman(x: np.ndarray, y: np.ndarray) -> float:
     return float((rx * ry).sum() / denom) if denom > 0 else 0.0
 
 
-def diagnose(result: Dict, focus: Optional[int] = None) -> Dict:
+def diagnose(result: Dict, focus: Optional[int] = None, stride: float = 20.0) -> Dict:
     """Feature/correlation table from a ``run_statistical_benchmark`` result.
 
     Returns ``{"resolutions": [...], "features": {name: {res: spearman}},
     "table": [per-scene dict], "worst": {res: [scene indices, worst first]}}``.
+    ``stride`` parameterizes the ``tile_misalign`` features (see
+    :func:`scene_features`; use 10 when diagnosing an overlap-feathered run).
     """
     records = result["records"]
     # JSON round-trip stringifies the integer resolution keys.
@@ -107,15 +116,24 @@ def diagnose(result: Dict, focus: Optional[int] = None) -> Dict:
     table = []
     for i, r in enumerate(records):
         row = {"scene": i, "k1": r["k1"], "k2": r["k2"],
-               **scene_features(r["k1"], r["k2"], levels)}
+               **scene_features(r["k1"], r["k2"], levels, stride=stride)}
         rms40 = r.get("rms40")
         for res in resolutions:
             e = res_entry(r, res)
             row[f"ml_rel_l2_{res}"] = e["ml"]["relative_l2"]
             row[f"bl_rel_l2_{res}"] = e["bilinear"]["relative_l2"]
-            if rms40 and e.get("truth_rms") is not None:
+            # NaN (not a missing key) when the record lacks the amplitude
+            # data, so mixed old/new records still build a rectangular table.
+            if (rms40 is not None and rms40 != 0.0
+                    and e.get("truth_rms") is not None):
                 row[f"amp_ratio_{res}"] = e["truth_rms"] / rms40
+            else:
+                row[f"amp_ratio_{res}"] = float("nan")
         table.append(row)
+
+    def _masked_spearman(x: np.ndarray, y: np.ndarray) -> float:
+        m = np.isfinite(x) & np.isfinite(y)
+        return _spearman(x[m], y[m]) if m.sum() >= 3 else float("nan")
 
     feature_names = [k for k in table[0]
                      if not k.startswith(("ml_rel_l2", "bl_rel_l2", "amp_ratio"))
@@ -125,12 +143,12 @@ def diagnose(result: Dict, focus: Optional[int] = None) -> Dict:
         y = np.array([row[f"ml_rel_l2_{res}"] for row in table])
         for name in feature_names:
             x = np.array([row[name] for row in table])
-            correlations.setdefault(name, {})[res] = _spearman(x, y)
-        if f"amp_ratio_{res}" in table[0]:
-            x = np.array([row[f"amp_ratio_{res}"] for row in table])
-            correlations.setdefault("amp_ratio", {})[res] = _spearman(x, y)
+            correlations.setdefault(name, {})[res] = _masked_spearman(x, y)
+        x = np.array([row[f"amp_ratio_{res}"] for row in table])
+        if np.isfinite(x).sum() >= 3:
+            correlations.setdefault("amp_ratio", {})[res] = _masked_spearman(x, y)
         x = np.array([row[f"bl_rel_l2_{res}"] for row in table])
-        correlations.setdefault("bilinear_rel_l2", {})[res] = _spearman(x, y)
+        correlations.setdefault("bilinear_rel_l2", {})[res] = _masked_spearman(x, y)
 
     worst = {res: [int(i) for i in np.argsort(
         [-row[f"ml_rel_l2_{res}"] for row in table], kind="stable")]
@@ -145,12 +163,18 @@ def diagnose(result: Dict, focus: Optional[int] = None) -> Dict:
 def format_report(diag: Dict, focus: Optional[int] = None, top: int = 5) -> str:
     """Human-readable correlation table + worst-scene listing."""
     resolutions = diag["resolutions"]
+    if focus is not None and focus not in resolutions:
+        raise ValueError(
+            f"--focus {focus} is not a resolution of this run; "
+            f"valid resolutions: {resolutions}")
     lines = ["Spearman(feature, ML rel-L2) per resolution:", ""]
     header = f"{'feature':<20}" + "".join(f"{res:>9}" for res in resolutions)
     lines.append(header)
     for name, per_res in sorted(
             diag["features"].items(),
-            key=lambda kv: -max(abs(v) for v in kv[1].values())):
+            key=lambda kv: -max((abs(v) for v in kv[1].values()
+                                 if v is not None and np.isfinite(v)),
+                                default=0.0)):
         lines.append(f"{name:<20}" + "".join(
             f"{per_res.get(res, float('nan')):>9.2f}" for res in resolutions))
     for res in ([focus] if focus else resolutions):
@@ -162,9 +186,12 @@ def format_report(diag: Dict, focus: Optional[int] = None, top: int = 5) -> str:
                 f"  scene {i:>3}: {row[f'ml_rel_l2_{res}']:.3f} / "
                 f"{row[f'bl_rel_l2_{res}']:.3f} / k=({row['k1']:.2f},{row['k2']:.2f})"
                 + (f" amp_ratio={row[f'amp_ratio_{res}']:.2f}"
-                   if f"amp_ratio_{res}" in row else ""))
+                   if np.isfinite(row.get(f"amp_ratio_{res}", float("nan")))
+                   else ""))
     return "\n".join(lines)
 
 
-def diagnose_file(path: str | Path, focus: Optional[int] = None) -> Dict:
-    return diagnose(json.loads(Path(path).read_text()), focus=focus)
+def diagnose_file(path: str | Path, focus: Optional[int] = None,
+                  stride: float = 20.0) -> Dict:
+    return diagnose(json.loads(Path(path).read_text()), focus=focus,
+                    stride=stride)

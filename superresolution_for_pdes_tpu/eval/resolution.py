@@ -47,6 +47,7 @@ def run_resolution_sweep(
     amp_kind: str = "radial",
     amp_bpo: int = 4,
     amp_levels=None,
+    coarse_tile=20,
 ) -> Dict:
     """One scene, every target resolution, every method. Returns
     ``{metrics, solutions, scene}``.
@@ -55,6 +56,8 @@ def run_resolution_sweep(
     reported: the same cascade with N honest V-cycles of the known PDE per
     level (ML as initial iterate) — the pure-ML ``ml_multi_level`` column is
     unchanged so the two remain directly comparable."""
+    if isinstance(coarse_tile, list):
+        coarse_tile = tuple(coarse_tile)
     if scene is None:
         scene = solve_multi_resolution(key, resolutions=tuple(resolutions), k_range=k_range)
 
@@ -73,7 +76,7 @@ def run_resolution_sweep(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
-            symmetrize=symmetrize, **extra,
+            symmetrize=symmetrize, coarse_tile=coarse_tile, **extra,
         )
 
     methods = {}
@@ -83,14 +86,14 @@ def run_resolution_sweep(
     methods["ml_multi_level"] = ml_cascade(
         model, variables, scene, max(resolutions), stats_mode=stats_mode,
         tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
-        symmetrize=symmetrize, amp_levels=amp_levels,
+        symmetrize=symmetrize, amp_levels=amp_levels, coarse_tile=coarse_tile,
     )
     if refine_cycles > 0:
         methods["ml_physics"] = ml_cascade(
             model, variables, scene, max(resolutions), stats_mode=stats_mode,
             tile_sharding=tile_sharding, overlap=overlap, train_stats=train_stats,
             symmetrize=symmetrize, refine_cycles=refine_cycles,
-            amp_levels=amp_levels,
+            amp_levels=amp_levels, coarse_tile=coarse_tile,
         )
     for res in resolutions:
         methods.setdefault("bilinear_direct", {})[res] = interpolation_upscale(u40, res, "bilinear")

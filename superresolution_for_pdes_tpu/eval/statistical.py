@@ -39,6 +39,7 @@ from superresolution_for_pdes_tpu.cascade.upscale import (
     interpolation_upscale,
     ml_cascade_stepwise,
     ml_multi_level_upscale,
+    warmup_cascade_stepwise,
 )
 from superresolution_for_pdes_tpu.eval.metrics import compute_metrics
 
@@ -94,8 +95,11 @@ def run_statistical_benchmark(
     amp_kind: str = "radial",
     amp_bpo: int = 4,
     amp_levels=None,
+    coarse_tile=20,
 ) -> Dict:
     resolutions = tuple(resolutions)
+    if isinstance(coarse_tile, list):
+        coarse_tile = tuple(coarse_tile)
 
     # Honest per-level amplitude calibration from self-generated
     # training-distribution scenes (cascade.upscale.calibrate_amplitude);
@@ -110,7 +114,7 @@ def run_statistical_benchmark(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
-            symmetrize=symmetrize, **extra,
+            symmetrize=symmetrize, coarse_tile=coarse_tile, **extra,
         )
     scenes = solve_multi_resolution_batch(
         key, n_examples, resolutions=resolutions, k_range=k_range, time_solves=True
@@ -120,17 +124,19 @@ def run_statistical_benchmark(
     # ONE cascade pass for all scenes and all levels, executed level-by-level
     # so per-level wall-clock is observable: the time to reach a target is the
     # cumulative sum of its level times (values are identical to the fused
-    # program — each level depends only on the chain below it). A first pass
-    # warms the per-level compilations; the second is the timed + output pass.
+    # program — each level depends only on the chain below it). An AOT warmup
+    # compiles every per-level program WITHOUT running it, so the timed pass
+    # measures pure execution at no extra device work.
     top = max(resolutions)
-    ml_cascade_stepwise(model, variables, scenes, top, stats_mode=stats_mode,
-                        train_stats=train_stats, overlap=overlap,
-                        symmetrize=symmetrize, refine_cycles=refine_cycles,
-                        amp_levels=amp_levels)
+    warmup_cascade_stepwise(model, variables, scenes, top, stats_mode=stats_mode,
+                            train_stats=train_stats, overlap=overlap,
+                            symmetrize=symmetrize, refine_cycles=refine_cycles,
+                            amp_levels=amp_levels, coarse_tile=coarse_tile)
     ml_fields, level_times = ml_cascade_stepwise(
         model, variables, scenes, top, stats_mode=stats_mode,
         train_stats=train_stats, overlap=overlap, symmetrize=symmetrize,
-        refine_cycles=refine_cycles, amp_levels=amp_levels)
+        refine_cycles=refine_cycles, amp_levels=amp_levels,
+        coarse_tile=coarse_tile)
     ml_times: Dict[int, float] = {}
     cum = 0.0
     for res in sorted(level_times):

@@ -386,3 +386,76 @@ def test_modal_calibration(scene):
     out = ml_cascade(model, variables, scene32, 160, stats_mode="tile",
                      amp_levels=mixed)
     assert np.isfinite(np.asarray(out[160])).all()
+
+
+def test_per_level_tile_schedule(scene):
+    """``coarse_tile`` may be a per-level schedule (trailing levels reuse the
+    last entry): a 40-point level-2 tile runs 40^2->80^2 windows — bigger
+    spatial context, 4 tiles at 80->160 instead of 16 (round-4 attack on the
+    160^2 systematic floor). Fused == stepwise under the schedule, the
+    level-1 field (same 20-tile config) is unchanged, and the level-2 field
+    genuinely differs from the all-20 cascade."""
+    from superresolution_for_pdes_tpu.cascade.upscale import (
+        ml_cascade,
+        ml_cascade_stepwise,
+    )
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scene32 = {
+        fld: {r: jnp.asarray(v, jnp.float32) for r, v in scene[fld].items()}
+        for fld in ("u", "f", "theta")
+    }
+    base = ml_cascade(model, variables, scene32, 160, stats_mode="tile")
+    sched = ml_cascade(model, variables, scene32, 160, stats_mode="tile",
+                       coarse_tile=(20, 40))
+    np.testing.assert_allclose(np.asarray(sched[80]), np.asarray(base[80]),
+                               rtol=1e-6, atol=1e-8)
+    assert np.abs(np.asarray(sched[160]) - np.asarray(base[160])).max() > 0
+    assert np.isfinite(np.asarray(sched[160])).all()
+
+    stepped, times = ml_cascade_stepwise(model, variables, scene32, 160,
+                                         stats_mode="tile", coarse_tile=(20, 40))
+    assert set(times) == {80, 160}
+    for res in (80, 160):
+        np.testing.assert_allclose(np.asarray(stepped[res]), np.asarray(sched[res]),
+                                   rtol=1e-5, atol=1e-7)
+    # full-field level 1: one 40^2 window over the whole 40^2 input
+    full = ml_cascade(model, variables, scene32, 80, stats_mode="tile",
+                      coarse_tile=40)
+    assert full[80].shape == (80, 80)
+    assert np.isfinite(np.asarray(full[80])).all()
+
+
+def test_warmup_cascade_stepwise_primes_compilation(scene):
+    """The AOT warmup compiles every per-level program without executing any
+    device work; the subsequent timed stepwise pass returns identical fields
+    to a cold run (round-4 hygiene: replaces the run-and-discard warm pass
+    that doubled the statistical benchmark's device work)."""
+    from superresolution_for_pdes_tpu.cascade.multires import solve_multi_resolution_batch
+    from superresolution_for_pdes_tpu.cascade.upscale import (
+        ml_cascade_stepwise,
+        warmup_cascade_stepwise,
+    )
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=64, head_features=(8, 4)),
+    )
+    scenes = solve_multi_resolution_batch(jax.random.key(5), 2, resolutions=(80, 160))
+    cold, _ = ml_cascade_stepwise(model, variables, scenes, 160, stats_mode="tile",
+                                  coarse_tile=(20, 40))
+    warmup_cascade_stepwise(model, variables, scenes, 160, stats_mode="tile",
+                            coarse_tile=(20, 40))
+    warm, times = ml_cascade_stepwise(model, variables, scenes, 160, stats_mode="tile",
+                                      coarse_tile=(20, 40))
+    assert all(t > 0 for t in times.values())
+    for res in (80, 160):
+        np.testing.assert_allclose(np.asarray(warm[res]), np.asarray(cold[res]),
+                                   rtol=0, atol=0)
+    # oracle mode lowers with truth-stats fields too
+    warmup_cascade_stepwise(model, variables, scenes, 160, stats_mode="oracle")
+    oracle, _ = ml_cascade_stepwise(model, variables, scenes, 160, stats_mode="oracle")
+    assert np.isfinite(np.asarray(oracle[160])).all()

@@ -287,3 +287,33 @@ def test_cascade_coarsest_selects_levels():
         rtol=1e-6, atol=1e-8,
     )
     assert bool(jnp.isfinite(ds["u_fine"]).all())
+
+
+def test_cascade_dataset_tile_size_40():
+    """``tile_size=40`` harvests 40^2->80^2 window pairs (the bigger-context
+    expert's training geometry) with the same stride-2 positional alignment
+    as the default 20-point tiles."""
+    import jax
+
+    from superresolution_for_pdes_tpu.data.generate import generate_cascade_dataset
+
+    ds = generate_cascade_dataset(jax.random.key(7), 2, tiles_per_level=3,
+                                  finest=160, tile_size=40)
+    # 2 scenes x 3 tiles x 2 levels (40->80, 80->160)
+    assert ds["u_coarse"].shape == (12, 40, 40)
+    assert ds["u_fine"].shape == (12, 80, 80)
+    np.testing.assert_array_equal(
+        np.asarray(ds["f_coarse"]), np.asarray(ds["f_fine"])[:, ::2, ::2])
+    assert np.isfinite(np.asarray(ds["u_coarse"])).all()
+
+
+def test_mixed_dataset_rejects_tile_size_with_standard_samples():
+    import pytest
+
+    from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
+
+    with pytest.raises(ValueError, match="cascade_tile_size"):
+        generate_mixed_dataset(
+            jax.random.key(0), n_standard=2, n_subdomain=0,
+            n_cascade_scenes=1, cascade_finest=80, cascade_tile_size=40,
+        )

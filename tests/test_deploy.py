@@ -62,3 +62,29 @@ def test_upscale_cli_end_to_end(tmp_path):
     assert out.shape == (80, 80) and np.isfinite(out).all()
     metrics = json.loads((tmp_path / "out" / "metrics.json").read_text())
     assert "80" in metrics or 80 in metrics
+
+
+def test_bundle_persists_tile_schedule(tmp_path):
+    """The per-level tile schedule freezes into the manifest and drives
+    run_bundle (round 4: bigger-context deep levels are a deployment
+    decision, so the bundle must carry it)."""
+    model, v0 = init_unet(jax.random.key(0), AttentionUNet(**TINY))
+    cfg = dict(name="attention_unet", **TINY)
+    bundle = tmp_path / "tiled"
+    save_bundle(bundle, cfg, v0, stats_mode="tile", coarse_tile=(20, 40))
+    _, _, _, manifest = load_bundle(bundle)
+    assert manifest["coarse_tile"] == (20, 40)
+
+    scene = solve_multi_resolution(jax.random.key(2), resolutions=(80, 160))
+    data = {"u": {40: scene["u"][40]}, "f": scene["f"], "theta": scene["theta"]}
+    live = ml_cascade(model, v0, data, 160, stats_mode="tile",
+                      coarse_tile=(20, 40))
+    from_bundle = run_bundle(bundle, data, 160)
+    np.testing.assert_allclose(np.asarray(from_bundle[160]), np.asarray(live[160]),
+                               rtol=0, atol=1e-6)
+    # pre-round-4 bundles (no coarse_tile key) default to 20
+    m = json.loads((bundle / "manifest.json").read_text())
+    del m["coarse_tile"]
+    (bundle / "manifest.json").write_text(json.dumps(m))
+    _, _, _, manifest_old = load_bundle(bundle)
+    assert manifest_old["coarse_tile"] == 20
