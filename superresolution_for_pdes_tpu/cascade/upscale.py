@@ -65,7 +65,8 @@ def upscale_tile_batch(
     return stats.denormalize_u(pred[..., 0])
 
 
-def _dihedral_apply(model, variables, x: jnp.ndarray) -> jnp.ndarray:
+def _dihedral_apply(model, variables, x: jnp.ndarray,
+                    tile_sharding=None) -> jnp.ndarray:
     """Average the model over the 8-element dihedral group (honest test-time
     ensembling).
 
@@ -81,19 +82,28 @@ def _dihedral_apply(model, variables, x: jnp.ndarray) -> jnp.ndarray:
     (concatenated on the leading axis) — on the MXU a single large batch is
     far cheaper than 8 sequential applies, and eval-mode BatchNorm uses fixed
     running stats so the fold is bit-equivalent to the sequential loop.
+
+    Under a tile sharding every rotated/flipped tensor is re-pinned to the
+    tile axis: the transforms touch only the (replicated) spatial dims, but
+    without explicit constraints GSPMD's cost model used to re-shard the
+    ``reverse`` ops spatially and fall back to involuntary full
+    rematerialization (round-3 dryrun warning); the constraints keep the
+    orbit fold tile-parallel end to end.
     """
+    pin = ((lambda t: jax.lax.with_sharding_constraint(t, tile_sharding))
+           if tile_sharding is not None else (lambda t: t))
     xs = []
     for flip in (False, True):
-        xf = jnp.flip(x, axis=-3) if flip else x
+        xf = pin(jnp.flip(x, axis=-3)) if flip else x
         for k in range(4):
-            xs.append(jnp.rot90(xf, k=k, axes=(-3, -2)))
-    preds = model.apply(variables, jnp.concatenate(xs, axis=0), train=False)
-    preds = jnp.split(preds, 8, axis=0)
+            xs.append(pin(jnp.rot90(xf, k=k, axes=(-3, -2))))
+    preds = model.apply(variables, pin(jnp.concatenate(xs, axis=0)), train=False)
+    preds = [pin(p) for p in jnp.split(preds, 8, axis=0)]
     out = []
     for i, flip in enumerate((False, True)):
         for k in range(4):
-            p = jnp.rot90(preds[4 * i + k], k=-k, axes=(-3, -2))
-            out.append(jnp.flip(p, axis=-3) if flip else p)
+            p = pin(jnp.rot90(preds[4 * i + k], k=-k, axes=(-3, -2)))
+            out.append(pin(jnp.flip(p, axis=-3)) if flip else p)
     return sum(out) / len(out)
 
 
@@ -184,7 +194,7 @@ def _level_body(
         if tile_sharding is not None:
             x = jax.lax.with_sharding_constraint(x, tile_sharding)
         if symmetrize:
-            pred = _dihedral_apply(model, variables, x)
+            pred = _dihedral_apply(model, variables, x, tile_sharding)
         else:
             pred = model.apply(variables, x, train=False)
         return stats.denormalize_u(pred[..., 0])

@@ -144,6 +144,12 @@ def main(argv=None) -> None:
                         "program — amortizes the per-epoch host dispatches "
                         "over remote-TPU tunnels (LR changes then apply at "
                         "chunk boundaries)")
+    parser.add_argument("--gen_every", type=int, default=1,
+                        help="with --gen_stream: regenerate the training set "
+                        "every K epochs instead of every epoch (shuffling "
+                        "stays per-epoch). The streamed epoch is regen-bound, "
+                        "so 2-3 cuts wall-clock ~30-40%% at a small data-"
+                        "freshness cost; 1 = original behavior")
     parser.add_argument(
         "--gen_stream", action="store_true",
         help="regenerate the training split on-device with a fresh key every "
@@ -216,6 +222,7 @@ def main(argv=None) -> None:
         plateau_patience=args.plateau_patience,
         log_tensorboard=args.tensorboard,
         fused_epochs=args.fused_epochs,
+        gen_every=args.gen_every,
     )
     if args.multihost:
         from superresolution_for_pdes_tpu.parallel import initialize_multihost

@@ -495,9 +495,15 @@ def train_model(
         return _finalize(run_dir, config, state, stats, history, early, plateau,
                          best_snapshot, start_epoch, logger, model)
 
+    gen_every = max(1, int(getattr(config, "gen_every", 1) or 1))
+    last_gen_epoch = None
     for epoch in range(start_epoch, config.num_epochs):
         shuffle_key, epoch_key = jax.random.split(shuffle_key)
-        if dataset_generator is not None:
+        if dataset_generator is not None and (
+                last_gen_epoch is None or epoch - last_gen_epoch >= gen_every):
+            # Regen keys stay a pure function of the epoch index, so
+            # gen_every=1 reproduces the original streaming byte-for-byte and
+            # a resumed run regenerates the same sets it would have seen.
             fresh = dataset_generator(jax.random.fold_in(stream_key, epoch))
             train_arrays = prepare_arrays(
                 fresh, stats, dtype, per_sample=per_sample,
@@ -506,6 +512,7 @@ def train_model(
             if mesh is not None:
                 train_arrays = jax.device_put(train_arrays, replicate)
             n_train = int(fresh["u_fine"].shape[0])
+            last_gen_epoch = epoch
         idx_matrix = epoch_batch_indices(epoch_key, n_train, config.batch_size)
         noise_key = (
             jax.random.fold_in(epoch_key, 1) if config.coarse_noise_std > 0.0 else None

@@ -207,3 +207,32 @@ def test_chunked_eval_matches_single_shot():
         losses[chunk] = float(eval_loss(state, arrays))
     assert losses[4] == pytest.approx(losses[1024], rel=1e-5)
     assert losses[3] == pytest.approx(losses[1024], rel=1e-5)
+
+
+def test_gen_every_regenerates_on_cadence(tmp_path):
+    """gen_every=2 calls the generator on epochs 0/2/4 only (the streamed
+    epoch is regen-bound — reports/train_bench.json — so the cadence is the
+    rebuild-cost lever); the regen keys are the same epoch-indexed keys the
+    every-epoch stream uses, so K=1 remains byte-identical."""
+    from superresolution_for_pdes_tpu.data.generate import generate_standard_dataset as gen
+
+    ds = gen(jax.random.key(0), 32)
+    seen = []
+
+    def generator(key):
+        seen.append(key)
+        return gen(key, 32)
+
+    config = TrainConfig(batch_size=8, num_epochs=5, stratify_by_subdomain=False,
+                         checkpoint_every_best=False, gen_every=2)
+    model = AttentionUNet(enc_features=(8, 16, 32), bridge_features=32,
+                          head_features=(4, 4))
+    history = train_model(ds, config, tmp_path / "cadence", model=model,
+                          verbose=False, dataset_generator=generator)
+    assert len(seen) == 3  # epochs 0, 2, 4
+    stream_key = jax.random.key(config.seed + 2)
+    expect = [jax.random.fold_in(stream_key, e) for e in (0, 2, 4)]
+    for got, want in zip(seen, expect):
+        np.testing.assert_array_equal(np.asarray(jax.random.key_data(got)),
+                                      np.asarray(jax.random.key_data(want)))
+    assert np.isfinite(history["train_loss"]).all()
