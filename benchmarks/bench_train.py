@@ -81,12 +81,18 @@ def main() -> None:
     # the measured wall-clock, against the v5e bf16 MXU peak (197 TFLOP/s;
     # TPU matmuls at DEFAULT precision execute on the bf16 MXU datapath, so
     # the bf16 peak is the relevant roofline for this f32-stored model).
+    #
+    # cost_analysis() counts a scan/while BODY ONCE, not per trip (verified:
+    # a 1-step and a 2-step epoch program report identical flops) — the
+    # round-1..3 numbers in reports/train_bench.json divided by the full
+    # epoch wall-clock and so under-reported MFU by the steps-per-epoch
+    # factor (50x at b32, 6x at b256). Multiply by the trip count.
     mfu = None
     try:
         ca = train_epoch.lower(state, arrays, idx).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops_per_epoch = float(ca.get("flops", 0.0))
+        flops_per_epoch = float(ca.get("flops", 0.0)) * len(idx)
         if flops_per_epoch > 0:
             peak = 197e12
             mfu = flops_per_epoch / per_epoch / peak
@@ -125,7 +131,7 @@ def main() -> None:
         ca = train_epoch16.lower(state16, arrays16, idx16).compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops16 = float(ca.get("flops", 0.0))
+        flops16 = float(ca.get("flops", 0.0)) * len(idx16)  # body counted once
         if flops16 > 0:
             mfu16 = flops16 / per_epoch16 / 197e12
     except Exception:
