@@ -235,50 +235,15 @@ def main(argv=None) -> None:
 
         from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
 
-        dataset = generate_mixed_dataset(
-            jax.random.key(args.gen_seed),
-            n_standard=args.gen_standard,
-            n_subdomain=args.gen_subdomain,
-            theta=args.gen_theta,
-            standard_k_range=tuple(args.gen_standard_k),
-            subdomain_k_range=tuple(args.gen_subdomain_k),
-            n_cascade_scenes=args.gen_cascade_scenes,
-            cascade_tiles_per_level=args.gen_tiles_per_level,
-            cascade_k_range=tuple(args.gen_cascade_k),
-            cascade_finest=args.gen_cascade_finest,
-            cascade_coarsest=args.gen_cascade_coarsest,
-            cascade_tile_size=args.gen_tile_size,
-        )
-        if args.gen_selffeed_scenes > 0:
-            selffeed = _make_selffeed(args)(
-                jax.random.fold_in(jax.random.key(args.gen_seed), 7))
-            from superresolution_for_pdes_tpu.data.generate import combine_datasets
-
-            print(f"  + {int(selffeed['u_fine'].shape[0])} self-feeding cascade tiles "
-                  f"(model {args.gen_selffeed_model}, stats {args.gen_selffeed_stats})")
-            dataset = combine_datasets(dataset, selffeed)
-        print(f"generated {int(dataset['u_fine'].shape[0])} samples on-device "
-              f"(theta={args.gen_theta}, seed={args.gen_seed})")
-    else:
-        if args.gen_stream:
-            raise SystemExit("--gen_stream requires --generate")
-        dataset = load_dataset(args.data)
-
-    dataset_generator = None
-    if args.gen_stream:
-        import jax
-
-        from superresolution_for_pdes_tpu.data.generate import (
-            combine_datasets,
-            generate_mixed_dataset,
-        )
-
-        selffeed_gen = (
-            _make_selffeed(args) if args.gen_selffeed_scenes > 0 else None
-        )
-
-        def dataset_generator(key):
-            ds = generate_mixed_dataset(
+        def _gen_mixed(key):
+            """The mixed recipe, or None for a pure-selffeed job (std = sub =
+            cascade = 0 — the bigger-tile experts can't mix 20->40 geometry)."""
+            if (args.gen_standard + args.gen_subdomain
+                    + args.gen_cascade_scenes == 0):
+                if args.gen_selffeed_scenes <= 0:
+                    raise SystemExit("--generate with every sample count at 0")
+                return None
+            return generate_mixed_dataset(
                 key,
                 n_standard=args.gen_standard,
                 n_subdomain=args.gen_subdomain,
@@ -292,8 +257,38 @@ def main(argv=None) -> None:
                 cascade_coarsest=args.gen_cascade_coarsest,
                 cascade_tile_size=args.gen_tile_size,
             )
+
+        dataset = _gen_mixed(jax.random.key(args.gen_seed))
+        if args.gen_selffeed_scenes > 0:
+            selffeed = _make_selffeed(args)(
+                jax.random.fold_in(jax.random.key(args.gen_seed), 7))
+            from superresolution_for_pdes_tpu.data.generate import combine_datasets
+
+            print(f"  + {int(selffeed['u_fine'].shape[0])} self-feeding cascade tiles "
+                  f"(model {args.gen_selffeed_model}, stats {args.gen_selffeed_stats})")
+            dataset = selffeed if dataset is None else combine_datasets(dataset, selffeed)
+        print(f"generated {int(dataset['u_fine'].shape[0])} samples on-device "
+              f"(theta={args.gen_theta}, seed={args.gen_seed})")
+    else:
+        if args.gen_stream:
+            raise SystemExit("--gen_stream requires --generate")
+        dataset = load_dataset(args.data)
+
+    dataset_generator = None
+    if args.gen_stream:
+        import jax
+
+        from superresolution_for_pdes_tpu.data.generate import combine_datasets
+
+        selffeed_gen = (
+            _make_selffeed(args) if args.gen_selffeed_scenes > 0 else None
+        )
+
+        def dataset_generator(key):
+            ds = _gen_mixed(key)
             if selffeed_gen is not None:
-                ds = combine_datasets(ds, selffeed_gen(jax.random.fold_in(key, 7)))
+                sf = selffeed_gen(jax.random.fold_in(key, 7))
+                ds = sf if ds is None else combine_datasets(ds, sf)
             return ds
 
     run_dir = create_run_dir(args.results, args.prefix)

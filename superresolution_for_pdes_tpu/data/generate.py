@@ -212,6 +212,14 @@ def combine_datasets(
     already present on both sides here)."""
     if set(a) != set(b):
         raise ValueError(f"dataset key mismatch: {sorted(set(a) ^ set(b))}")
+    # An empty side contributes nothing — and may carry placeholder spatial
+    # dims that differ from the other side's (e.g. an empty 20->40 standard
+    # part combined with 40->80 bigger-tile selffeed samples), so skip the
+    # concatenate instead of shape-erroring on it.
+    if int(a["u_fine"].shape[0]) == 0:
+        return b
+    if int(b["u_fine"].shape[0]) == 0:
+        return a
     return {k: jnp.concatenate([a[k], b[k]], axis=0) for k in a}
 
 
@@ -275,7 +283,13 @@ def generate_mixed_dataset(
             "cascade_tile_size != 20 cannot be mixed with standard/subdomain "
             "samples (their 20^2->40^2 geometry has different sample shapes); "
             "set n_standard = n_subdomain = 0 for a bigger-window expert")
-    if theta == "mixed":
+    if theta not in ("mixed", "constant", "varying"):
+        raise ValueError(f"unknown theta mode: {theta!r}")
+    if n_standard + n_subdomain == 0:
+        # pure-cascade (or, via the train CLI, pure-selffeed) recipe — the
+        # bigger-tile experts (tile_size != 20) can't mix in 20->40 geometry
+        dataset = None
+    elif theta == "mixed":
         k1, k2 = jax.random.split(key)
         dataset = combine_datasets(
             generate_enhanced_dataset(
@@ -287,13 +301,11 @@ def generate_mixed_dataset(
                 constant_theta=False, dtype=dtype,
             ),
         )
-    elif theta in ("constant", "varying"):
+    else:
         dataset = generate_enhanced_dataset(
             key, n_standard, n_subdomain, standard_k_range, subdomain_k_range,
             constant_theta=theta == "constant", dtype=dtype,
         )
-    else:
-        raise ValueError(f"unknown theta mode: {theta!r}")
     if n_cascade_scenes > 0:
         cascade = generate_cascade_dataset(
             jax.random.fold_in(key, 99), n_cascade_scenes,
@@ -302,7 +314,12 @@ def generate_mixed_dataset(
             constant_theta=theta == "constant", dtype=dtype,
             tile_size=cascade_tile_size,
         )
-        dataset = combine_datasets(dataset, cascade)
+        dataset = cascade if dataset is None else combine_datasets(dataset, cascade)
+    if dataset is None:
+        raise ValueError(
+            "empty dataset recipe: set n_standard, n_subdomain or "
+            "n_cascade_scenes > 0 (the train CLI additionally allows a "
+            "pure --gen_selffeed_scenes recipe)")
     return dataset
 
 
