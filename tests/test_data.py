@@ -317,3 +317,48 @@ def test_mixed_dataset_rejects_tile_size_with_standard_samples():
             jax.random.key(0), n_standard=2, n_subdomain=0,
             n_cascade_scenes=1, cascade_finest=80, cascade_tile_size=40,
         )
+
+
+def test_combine_datasets_skips_empty_sides():
+    """An empty side may carry placeholder spatial dims that differ from the
+    other side's (e.g. empty 20->40 standard part + 40->80 selffeed tiles) —
+    combine must pass the non-empty side through unchanged."""
+    from superresolution_for_pdes_tpu.data.generate import combine_datasets
+
+    keys = ("u_fine", "u_coarse", "f_fine", "f_coarse", "theta_fine",
+            "theta_coarse", "k1", "k2", "is_subdomain")
+
+    def make(n, fine):
+        coarse = fine // 2
+        ds = {}
+        for k in keys:
+            if k in ("k1", "k2"):
+                ds[k] = jnp.zeros((n,))
+            elif k == "is_subdomain":
+                ds[k] = jnp.zeros((n,), bool)
+            else:
+                r = fine if k.endswith("_fine") else coarse
+                ds[k] = jnp.zeros((n, r, r))
+        return ds
+
+    big = make(3, 80)
+    empty = make(0, 40)  # mismatched spatial dims, but empty
+    out = combine_datasets(empty, big)
+    assert out["u_fine"].shape == (3, 80, 80)
+    out = combine_datasets(big, empty)
+    assert out["u_fine"].shape == (3, 80, 80)
+
+
+def test_mixed_dataset_pure_cascade_tile_40():
+    """std = sub = 0 with a 40-point cascade tile is the bigger-tile expert
+    recipe — the mixed generator must not try to build (or concat) an empty
+    20->40 part."""
+    from superresolution_for_pdes_tpu.data.generate import generate_mixed_dataset
+
+    ds = generate_mixed_dataset(
+        jax.random.key(0), n_standard=0, n_subdomain=0,
+        n_cascade_scenes=2, cascade_tiles_per_level=3, cascade_finest=160,
+        cascade_tile_size=40,
+    )
+    assert ds["u_coarse"].shape == (12, 40, 40)
+    assert ds["u_fine"].shape == (12, 80, 80)
