@@ -128,6 +128,7 @@ def calibrate_modal(
     symmetrize: bool = False,
     bands_per_octave: int = 4,
     kind: str = "radial",
+    theta_range=(0.5, 2.0),
 ):
     """Honest per-level modal calibration from self-generated training scenes.
 
@@ -153,7 +154,8 @@ def calibrate_modal(
         resolutions.append(res)
 
     scenes = solve_multi_resolution_batch(
-        key, n_scenes, resolutions=tuple(resolutions), k_range=tuple(k_range)
+        key, n_scenes, resolutions=tuple(resolutions), k_range=tuple(k_range),
+        theta_range=tuple(theta_range),
     )
     stats_kind = {"oracle": "field", "scene": "field", "train": "precomputed",
                   "tile": "per_tile"}[stats_mode]

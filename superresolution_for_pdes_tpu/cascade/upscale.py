@@ -617,6 +617,7 @@ def calibrate_amplitude(
     coarse_tile: int = 20,
     overlap: bool = False,
     symmetrize: bool = False,
+    theta_range: Tuple[float, float] = (0.5, 2.0),
 ) -> jnp.ndarray:
     """Honest per-level amplitude calibration from TRAINING-distribution scenes.
 
@@ -653,7 +654,8 @@ def calibrate_amplitude(
         resolutions.append(res)
 
     scenes = solve_multi_resolution_batch(
-        key, n_scenes, resolutions=tuple(resolutions), k_range=k_range
+        key, n_scenes, resolutions=tuple(resolutions), k_range=k_range,
+        theta_range=theta_range,
     )
     kind = {"oracle": "field", "scene": "field", "train": "precomputed",
             "tile": "per_tile"}[stats_mode]

@@ -59,6 +59,10 @@ def main(argv=None) -> None:
                         "separable log-grid over (i, j) octaves")
     parser.add_argument("--amp_bpo", type=int, default=4,
                         help="modal bands per octave")
+    parser.add_argument("--theta_range", type=float, nargs=2, default=(0.5, 2.0),
+                        help="scene theta ~ U(lo, hi); 1 1 gives the constant-"
+                        "theta regime (reference default is U(0.5, 2), "
+                        "resolution_comparison.py:37)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out", type=str, default="results/statistical")
     args = parser.parse_args(argv)
@@ -92,7 +96,7 @@ def main(argv=None) -> None:
         refine_cycles=args.refine_cycles, amp_calibrate=args.amp_calibrate,
         amp_k=tuple(args.amp_k), amp_seed=args.amp_seed, amp_mode=args.amp_mode,
         amp_kind=args.amp_kind, amp_bpo=args.amp_bpo, amp_levels=amp_levels,
-        coarse_tile=coarse_tile,
+        coarse_tile=coarse_tile, theta_range=tuple(args.theta_range),
     )
     if result.get("amp_levels"):
         print("amp_levels:", [(round(a, 4) if isinstance(a, float) else

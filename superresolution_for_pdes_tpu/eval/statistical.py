@@ -96,6 +96,7 @@ def run_statistical_benchmark(
     amp_bpo: int = 4,
     amp_levels=None,
     coarse_tile=20,
+    theta_range: Tuple[float, float] = (0.5, 2.0),
 ) -> Dict:
     resolutions = tuple(resolutions)
     if isinstance(coarse_tile, list):
@@ -114,10 +115,12 @@ def run_statistical_benchmark(
             model, variables, jax.random.key(amp_seed), n_scenes=amp_calibrate,
             target_resolution=max(resolutions), k_range=amp_k,
             stats_mode=stats_mode, train_stats=train_stats, overlap=overlap,
-            symmetrize=symmetrize, coarse_tile=coarse_tile, **extra,
+            symmetrize=symmetrize, coarse_tile=coarse_tile,
+            theta_range=theta_range, **extra,
         )
     scenes = solve_multi_resolution_batch(
-        key, n_examples, resolutions=resolutions, k_range=k_range, time_solves=True
+        key, n_examples, resolutions=resolutions, k_range=k_range,
+        theta_range=theta_range, time_solves=True
     )
     solve_times = scenes.pop("solve_times")
 

@@ -122,3 +122,15 @@ def test_statistical_benchmark(tiny_model, tmp_path):
     assert (tmp_path / "summary.txt").exists()
     assert (tmp_path / "statistical_results.csv").exists()
     assert (tmp_path / "mae_box_80x80.png").exists()
+
+
+def test_statistical_benchmark_theta_range(tiny_model):
+    """--theta_range 1 1 runs the constant-theta regime end to end (the
+    router-in-cascade sanity protocol, round-4 VERDICT item 9)."""
+    model, variables = tiny_model
+    result = run_statistical_benchmark(
+        model, variables, jax.random.key(0), n_examples=2, resolutions=(80,),
+        theta_range=(1.0, 1.0),
+    )
+    a = result["aggregate"][80]
+    assert np.isfinite(a["ml_mae_mean"])
