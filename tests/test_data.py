@@ -362,3 +362,29 @@ def test_mixed_dataset_pure_cascade_tile_40():
     )
     assert ds["u_coarse"].shape == (12, 40, 40)
     assert ds["u_fine"].shape == (12, 80, 80)
+
+
+def test_selffeed_full_field_windows():
+    """The round-4 full-field expert recipe: ``tile_size`` equal to the
+    coarse resolution harvests the WHOLE field as one window (sfl2e:
+    80^2->160^2, ``--gen_tile_size 80 --gen_tiles_per_level 1``), and the
+    teacher accepts a per-level full-field tile schedule."""
+    from superresolution_for_pdes_tpu.data.generate import selffeed_cascade_dataset
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4)),
+    )
+    ds = selffeed_cascade_dataset(
+        model, variables, jax.random.key(5), 2, tiles_per_level=1,
+        finest=160, stats_mode="tile", harvest_from=80,
+        tile_size=80, teacher_tile=(40,),
+    )
+    # 2 scenes x 1 window x one level: the full 80^2 predicted field in,
+    # the full 160^2 exact solve out
+    assert ds["u_coarse"].shape == (2, 80, 80)
+    assert ds["u_fine"].shape == (2, 160, 160)
+    assert ds["f_fine"].shape == (2, 160, 160)
+    assert np.isfinite(np.asarray(ds["u_coarse"])).all()
+    assert np.isfinite(np.asarray(ds["u_fine"])).all()
