@@ -118,8 +118,15 @@ def run_statistical_benchmark(
             symmetrize=symmetrize, coarse_tile=coarse_tile,
             theta_range=theta_range, **extra,
         )
+    # Solve the FULL doubling ladder up to the finest request: the cascade
+    # consumes f/theta (and oracle stats) at every intermediate level even
+    # when only deep resolutions are reported (e.g. --resolutions 320 640).
+    ladder, res = [], 40
+    while res < max(resolutions):
+        res *= 2
+        ladder.append(res)
     scenes = solve_multi_resolution_batch(
-        key, n_examples, resolutions=resolutions, k_range=k_range,
+        key, n_examples, resolutions=tuple(ladder), k_range=k_range,
         theta_range=theta_range, time_solves=True
     )
     solve_times = scenes.pop("solve_times")

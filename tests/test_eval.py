@@ -134,3 +134,16 @@ def test_statistical_benchmark_theta_range(tiny_model):
     )
     a = result["aggregate"][80]
     assert np.isfinite(a["ml_mae_mean"])
+
+
+def test_statistical_benchmark_deep_only_resolutions(tiny_model):
+    """Deep-only --resolutions (e.g. 160 alone) must still cascade through the
+    unreported intermediate levels: the harness solves the full doubling
+    ladder internally and reports only what was asked (round-4 regression —
+    the AOT warmup used to KeyError on the missing 80 entry)."""
+    model, variables = tiny_model
+    result = run_statistical_benchmark(
+        model, variables, jax.random.key(0), n_examples=2, resolutions=(160,),
+    )
+    assert set(result["aggregate"]) == {160}
+    assert np.isfinite(result["aggregate"][160]["ml_mae_mean"])
