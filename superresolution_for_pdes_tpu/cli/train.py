@@ -57,6 +57,7 @@ def _make_selffeed(args):
             overlap=overlap,
             tile_size=args.gen_tile_size,
             teacher_tile=teacher_tile,
+            scene_chunk=args.gen_selffeed_chunk,
         )
 
     return gen
@@ -138,6 +139,12 @@ def main(argv=None) -> None:
                         help="per-level tile schedule the FROZEN teacher "
                         "cascade runs with (match the deployment schedule); "
                         "default 20 everywhere")
+    parser.add_argument("--gen_selffeed_chunk", type=int, default=None,
+                        help="generate the selffeed scene batch in chunks of "
+                        "this many scenes (must divide the scene count): peak "
+                        "datagen HBM scales with the chunk, not the batch — "
+                        "required for big-window deep-level recipes on 16 GB "
+                        "chips")
     parser.add_argument("--fused_epochs", type=int, default=0,
                         help="with --gen_stream: scan this many epochs "
                         "(regen + train + validate) inside ONE device "

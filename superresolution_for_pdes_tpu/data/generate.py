@@ -495,6 +495,7 @@ def selffeed_cascade_dataset(
     overlap=False,
     tile_size: int = 20,
     teacher_tile=20,
+    scene_chunk: int | None = None,
 ) -> Dict[str, jnp.ndarray]:
     """Self-feeding cascade tiles: coarse inputs are the given model's OWN
     cascade predictions (scheduled-sampling analogue).
@@ -519,7 +520,33 @@ def selffeed_cascade_dataset(
     40 trains a bigger-context expert) while ``teacher_tile`` is the frozen
     teacher cascade's own tile schedule (int or per-level tuple) — the two
     are independent: a 40-window student can learn from a 20-tiled teacher.
+
+    ``scene_chunk`` bounds device memory: the scene batch is generated in
+    independent chunks of that many scenes (each chunk is one XLA program —
+    all chunks share one compilation since shapes are static) and the tile
+    datasets are concatenated. The peak live footprint of scene solves +
+    teacher cascade then scales with the chunk, not with ``n_scenes`` — this
+    is what keeps big-window deep-level datagen (fine windows at 320²+) under
+    the 16 GB HBM ceiling documented in ``reports/RECIPES.md``.
     """
+    if scene_chunk is not None and scene_chunk < n_scenes:
+        if n_scenes % scene_chunk:
+            raise ValueError(
+                f"n_scenes={n_scenes} must be a multiple of "
+                f"scene_chunk={scene_chunk}")
+        parts = []
+        for chunk_key in jax.random.split(key, n_scenes // scene_chunk):
+            parts.append(selffeed_cascade_dataset(
+                model, variables, chunk_key, scene_chunk,
+                tiles_per_level=tiles_per_level, k_range=k_range,
+                finest=finest, constant_theta=constant_theta,
+                stats_mode=stats_mode, dtype=dtype, refine_iters=refine_iters,
+                amp_levels=amp_levels, harvest_from=harvest_from,
+                overlap=overlap, tile_size=tile_size,
+                teacher_tile=teacher_tile))
+        return {k: jnp.concatenate([p[k] for p in parts], axis=0)
+                for k in parts[0]}
+
     from superresolution_for_pdes_tpu.cascade.upscale import ml_cascade
 
     scene_key, tile_key = jax.random.split(key)

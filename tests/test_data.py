@@ -388,3 +388,34 @@ def test_selffeed_full_field_windows():
     assert ds["f_fine"].shape == (2, 160, 160)
     assert np.isfinite(np.asarray(ds["u_coarse"])).all()
     assert np.isfinite(np.asarray(ds["u_fine"])).all()
+
+
+def test_selffeed_scene_chunking():
+    """``scene_chunk`` generates the scene batch in bounded-memory chunks and
+    concatenates the harvested tiles: same shapes/dtypes/finiteness as the
+    single-program path, scene count must divide evenly, and a chunk >= the
+    batch is the identity configuration (same key path, bitwise-equal)."""
+    import pytest
+
+    from superresolution_for_pdes_tpu.data.generate import selffeed_cascade_dataset
+    from superresolution_for_pdes_tpu.models import AttentionUNet, init_unet
+
+    model, variables = init_unet(
+        jax.random.key(0),
+        AttentionUNet(enc_features=(8, 16, 32), bridge_features=32, head_features=(4, 4)),
+    )
+    kw = dict(tiles_per_level=2, finest=160, stats_mode="tile", tile_size=20)
+    whole = selffeed_cascade_dataset(model, variables, jax.random.key(7), 4, **kw)
+    chunked = selffeed_cascade_dataset(
+        model, variables, jax.random.key(7), 4, scene_chunk=2, **kw)
+    for k in whole:
+        assert chunked[k].shape == whole[k].shape
+        assert chunked[k].dtype == whole[k].dtype
+        assert np.isfinite(np.asarray(chunked[k], float)).all()
+    # chunk >= n_scenes falls through to the single-program path unchanged
+    same = selffeed_cascade_dataset(
+        model, variables, jax.random.key(7), 4, scene_chunk=4, **kw)
+    np.testing.assert_array_equal(np.asarray(same["u_fine"]), np.asarray(whole["u_fine"]))
+    with pytest.raises(ValueError, match="multiple of"):
+        selffeed_cascade_dataset(
+            model, variables, jax.random.key(7), 4, scene_chunk=3, **kw)
