@@ -31,9 +31,11 @@ $PY statistical --bundle $B --k 10 11 --n_examples 10 --seed 0 \
 $PY resolution_comparison --bundle $B --k 10 11 --seed 0 \
     --out results/resolution_bundle
 
+# The evals above ran under set -e, so every artifact must exist; a missing
+# copy source is a real failure, not something to paper over (ADVICE r4).
 for d in statistical_bundle_n20_seed3 statistical_bundle_seed0 \
          statistical_bundle_seed7 statistical_bundle_k1011; do
-    cp results/$d/summary.txt reports/$d.txt 2>/dev/null || true
+    cp results/$d/summary.txt reports/$d.txt
 done
-cp results/resolution_bundle/resolution_metrics.json reports/resolution_metrics_bundle.json 2>/dev/null || true
+cp results/resolution_bundle/resolution_metrics.json reports/resolution_metrics_bundle.json
 echo "bundle evals done"
