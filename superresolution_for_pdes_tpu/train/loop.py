@@ -188,8 +188,16 @@ def make_train_fns(
         # proportional to the split (an 18 GB spike at ~22k samples on the
         # 16 GB chip), so scan fixed-size chunks and take the exact
         # sample-weighted mean instead. Shapes are static at trace time.
+        # ``eval_chunk`` is an activation-memory budget expressed in 40x40
+        # samples: big-window experts (80/160/320-point inputs) carry 4-64x
+        # the activations per sample, so the sample count per chunk scales
+        # down by the spatial area ratio (a fixed 1024-sample chunk of
+        # 160x160 inputs is a 10 GB activation spike — the round-4 sfl34g
+        # compile OOM).
         n = next(iter(arrays.values())).shape[0]
-        chunk = min(eval_chunk, n)
+        h, w = arrays["x"].shape[1:3]
+        area_scaled = max(1, (eval_chunk * 40 * 40) // (h * w))
+        chunk = min(area_scaled, n)
         n_full = n // chunk
 
         def chunk_loss(batch):

@@ -208,6 +208,19 @@ def test_chunked_eval_matches_single_shot():
     assert losses[4] == pytest.approx(losses[1024], rel=1e-5)
     assert losses[3] == pytest.approx(losses[1024], rel=1e-5)
 
+    # Big-window experts: eval_chunk is an activation budget in 40x40
+    # samples, so 80x80 inputs must chunk 4x smaller (a fixed 1024-sample
+    # chunk of 160x160 inputs was the round-4 sfl34g 20 GB compile OOM) —
+    # and the area-scaled chunked mean must still be exact.
+    big = {k: (jnp.tile(v, (1, 2, 2) + (1,) * (v.ndim - 3))
+               if v.ndim >= 3 else v)
+           for k, v in arrays.items()}
+    big_losses = {}
+    for chunk in (4096, 16):  # single shot vs area-scaled chunks of 4
+        _, eval_loss = make_train_fns(model, tx, stats, physics_weight=0.1, eval_chunk=chunk)
+        big_losses[chunk] = float(eval_loss(state, big))
+    assert big_losses[16] == pytest.approx(big_losses[4096], rel=1e-5)
+
 
 def test_gen_every_regenerates_on_cadence(tmp_path):
     """gen_every=2 calls the generator on epochs 0/2/4 only (the streamed
