@@ -3,6 +3,8 @@
 import json
 import subprocess
 import sys
+
+import pytest
 import os
 
 import numpy as np
@@ -39,6 +41,7 @@ def test_generate_data_cli(tmp_path):
     assert data["is_subdomain"].sum() == 4
 
 
+@pytest.mark.slow
 def test_train_cli_generate_on_device(tmp_path):
     """train --generate builds its dataset on-device (no npz) and trains."""
     out = _run(

@@ -5,6 +5,7 @@ from pathlib import Path
 
 import jax
 import jax.numpy as jnp
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -17,6 +18,7 @@ def test_entry_jits():
     assert out.shape == (8, 40, 40, 1)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_eight():
     import __graft_entry__ as g
 

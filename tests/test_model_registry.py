@@ -29,6 +29,7 @@ def test_resnet_forward_and_residual(rng):
     assert float(np.mean(np.asarray(y2 - y))) == pytest.approx(3.0, abs=1.0)
 
 
+@pytest.mark.slow
 def test_train_with_registry_model(tmp_path):
     ds = generate_standard_dataset(jax.random.key(0), 32)
     cfg = TrainConfig(batch_size=16, num_epochs=2, stratify_by_subdomain=False,
