@@ -91,9 +91,15 @@ have sfl2f || run_stage sfl2f --generate --gen_stream --gen_theta mixed \
     --epochs 1200 --early_stopping_patience 60 --plateau_patience 30
 SFL2F=$(rundir sfl2f)
 
+# 128 scenes, not 256: at 256 the on-device residency (3.3 GB tile set +
+# the b32 160x160-input train program) exhausts the 16 GB chip at the first
+# validation pass (reports/rebuild_sfl34g_FAILED.log, round 5). 128 scenes x
+# 8 tiles x 2 levels = 2048 samples/epoch — still above the 1536 the
+# round-4 sfl34f screen showed is enough for this expert — and --gen_stream
+# regenerates fresh scenes every 2 epochs, so total unique data is unchanged.
 have sfl34g || run_stage sfl34g --generate --gen_stream --gen_theta mixed \
     --gen_standard 0 --gen_subdomain 0 --gen_cascade_scenes 0 \
-    --gen_selffeed_scenes 256 --gen_selffeed_chunk 32 \
+    --gen_selffeed_scenes 128 --gen_selffeed_chunk 32 \
     --gen_selffeed_model "$R7" \
     --gen_selffeed_model_level1 "$SFL1E" \
     --gen_selffeed_model_level 2 "$SFL2F" \
