@@ -28,6 +28,7 @@
 # a visible artifact (SURVEY §5: failure detection the reference lacks).
 set -euo pipefail
 cd "$(dirname "$0")/.."
+mkdir -p results reports
 PY="python -m superresolution_for_pdes_tpu"
 
 # A stage is complete only if its best_model checkpoint exists (cli/train.py
