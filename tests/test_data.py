@@ -145,10 +145,36 @@ def test_stratified_split():
     assert (flags[train]).sum() == 48 and (~flags[train]).sum() == 80
 
 
+def test_stratified_split_tiny_stratum_keeps_one_val_sample():
+    """A 2-4 sample stratum still yields one validation sample: an empty val
+    split divides by zero in the chunked eval_loss (train/loop.py) — hit by
+    the round-5 full-field L3 verify drive (4 selffeed samples/epoch)."""
+    flags = np.array([True] * 4)
+    train, val = stratified_split(0, flags, val_split=0.2)
+    assert len(val) == 1 and len(train) == 3
+    # both strata tiny
+    flags = np.array([False] * 2 + [True] * 3)
+    train, val = stratified_split(0, flags, val_split=0.2)
+    assert (flags[val]).sum() == 1 and (~flags[val]).sum() == 1
+    # a single-sample stratum cannot afford a val sample
+    flags = np.array([False])
+    train, val = stratified_split(0, flags, val_split=0.2)
+    assert len(train) == 1 and len(val) == 0
+
+
 def test_epoch_batch_indices():
     idx = epoch_batch_indices(jax.random.key(0), 1600, 32)
     assert idx.shape == (50, 32)
     assert len(np.unique(np.asarray(idx))) == 1600
+
+
+def test_epoch_batch_indices_rejects_batch_larger_than_split():
+    """batch > train split would silently run zero steps per epoch and
+    report nan train loss (round-5 verify drive); it must fail loudly."""
+    import pytest
+
+    with pytest.raises(ValueError, match="zero steps"):
+        epoch_batch_indices(jax.random.key(0), 3, 4)
 
 
 def test_cascade_dataset_window_alignment():
